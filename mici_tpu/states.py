@@ -1,0 +1,78 @@
+"""Chain state pytree.
+
+Reference: mici/states.py.  The reference ``ChainState`` is a mutable
+container with a dependency-tracked memoization cache
+(``cache_in_state`` / ``cache_in_state_with_aux``, mici/states.py:37-157):
+writing ``state.pos`` invalidates cached values derived from the position.
+
+The TPU-native design inverts this: ``ChainState`` is an **immutable pytree**
+and the memoization cache disappears entirely — within a single ``jit``
+trace XLA's common-subexpression elimination merges repeated evaluations of
+the same pure function at the same position, and *across* integrator steps
+values worth reusing (the gradient of the negative log density, the
+Hamiltonian, solver by-products) are threaded explicitly through integrator
+and transition carries.  A per-chain integer ``error`` bitmask replaces the
+reference's exception-based failure propagation (mici/errors.py,
+mici/transitions.py:33-43).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mici_tpu._pytree import register_pytree
+from mici_tpu import errors
+
+
+@register_pytree(data_fields=("pos", "mom", "dir", "error"))
+class ChainState:
+    """Immutable chain state: position, momentum, integration direction.
+
+    Reference: mici/states.py:160-305.  Unlike the reference object this is
+    an immutable pytree; use :meth:`replace` (or keyword-style ``copy``) to
+    derive updated states.  ``error`` is an int32 bitmask of in-flight
+    integrator error flags (see :mod:`mici_tpu.errors`).
+    """
+
+    def __init__(self, pos, mom=None, dir=1, error=None, _read_only=False):
+        pos = jnp.asarray(pos)
+        object.__setattr__(self, "pos", pos)
+        object.__setattr__(
+            self, "mom", None if mom is None else jnp.asarray(mom),
+        )
+        object.__setattr__(self, "dir", jnp.asarray(dir, dtype=jnp.int32))
+        if error is None:
+            error = jnp.zeros((), dtype=jnp.int32)
+        object.__setattr__(self, "error", jnp.asarray(error, jnp.int32))
+
+    def __setattr__(self, name, value):
+        msg = (
+            "ChainState is immutable: use state.replace("
+            f"{name}=...) to derive an updated state."
+        )
+        raise errors.ReadOnlyStateError(msg)
+
+    def copy(self, *, read_only: bool = False):
+        """Return state copy (a no-op alias kept for reference API parity)."""
+        return self
+
+    @property
+    def has_error(self):
+        """Boolean scalar: any integrator error bit set."""
+        return self.error != 0
+
+    def with_error_bit(self, bit, condition):
+        """Return state with ``bit`` OR-ed into error where ``condition``."""
+        new_error = jnp.where(
+            condition, self.error | jnp.int32(bit), self.error,
+        )
+        return self.replace(error=new_error)
+
+    def clear_error(self):
+        return self.replace(error=jnp.zeros_like(self.error))
+
+    def __repr__(self):
+        return (
+            f"ChainState(pos={self.pos!r}, mom={self.mom!r}, "
+            f"dir={self.dir!r}, error={self.error!r})"
+        )
