@@ -1,0 +1,289 @@
+"""Masked iterative solvers for implicit and constrained integrators.
+
+Reference: mici/solvers.py (fixed-point solvers at :47-154, manifold
+projection solvers at :195-614).  The reference raises ``ConvergenceError``
+mid-iteration; here every solver is a bounded ``lax.while_loop`` whose
+per-chain failure state is a *flag*, so a diverging chain cannot stall a
+vmapped batch (each chain's loop predicate goes false independently and the
+vmapped loop runs until all lanes finish, cf. SURVEY.md §7).  Failure flags
+are folded into the chain state's error bitmask by callers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from mici_tpu import errors
+
+
+def euclidean_norm(vct):
+    """Calculate the Euclidean (L-2) norm of a vector.
+
+    Reference: mici/solvers.py:20-22.
+    """
+    return jnp.sqrt(jnp.sum(vct**2))
+
+
+def maximum_norm(vct):
+    """Calculate the maximum (L-infinity) norm of a vector.
+
+    Reference: mici/solvers.py:25-27.
+    """
+    return jnp.max(jnp.abs(vct))
+
+
+def solve_fixed_point_direct(func, x0, convergence_tol=1e-9,
+                             divergence_tol=1e10, max_iters=100,
+                             norm=maximum_norm):
+    """Solve fixed point equation ``func(x) = x`` using direct iteration.
+
+    Reference: mici/solvers.py:47-94.
+
+    Returns:
+        Tuple ``(x, error_flag)`` with ``error_flag`` a boolean scalar that
+        is True when the iteration diverged, produced NaNs, or failed to
+        converge within ``max_iters``.
+    """
+
+    def cond(carry):
+        i, _x, converged, diverged = carry
+        return (i < max_iters) & ~converged & ~diverged
+
+    def body(carry):
+        i, x, _, _ = carry
+        x_new = func(x)
+        error = norm(x_new - x)
+        diverged = (error > divergence_tol) | jnp.isnan(error)
+        converged = error < convergence_tol
+        return (i + 1, x_new, converged, diverged)
+
+    _, x, converged, diverged = lax.while_loop(
+        cond, body, (jnp.int32(0), x0, jnp.bool_(False), jnp.bool_(False)),
+    )
+    return x, diverged | ~converged
+
+
+def solve_fixed_point_steffensen(func, x0, convergence_tol=1e-9,
+                                 divergence_tol=1e10, max_iters=100,
+                                 norm=maximum_norm):
+    """Solve fixed point equation ``func(x) = x`` using Steffensen's method.
+
+    Steffensen's method achieves quadratic convergence at the cost of two
+    function evaluations per iteration.  Reference: mici/solvers.py:97-154.
+
+    Returns:
+        Tuple ``(x, error_flag)`` as for :func:`solve_fixed_point_direct`.
+    """
+
+    def cond(carry):
+        i, _x, converged, diverged = carry
+        return (i < max_iters) & ~converged & ~diverged
+
+    def body(carry):
+        i, x0_, _, _ = carry
+        x1 = func(x0_)
+        x2 = func(x1)
+        denom = x2 - 2 * x1 + x0_
+        # Avoid division by zero (mici/solvers.py:134-137).
+        eps = jnp.finfo(x0_.dtype).eps
+        denom = jnp.where(jnp.abs(denom) == 0.0, eps, denom)
+        x_new = x0_ - (x1 - x0_) ** 2 / denom
+        error = norm(x_new - x0_)
+        diverged = (error > divergence_tol) | jnp.isnan(error)
+        converged = error < convergence_tol
+        return (i + 1, x_new, converged, diverged)
+
+    _, x, converged, diverged = lax.while_loop(
+        cond, body, (jnp.int32(0), x0, jnp.bool_(False), jnp.bool_(False)),
+    )
+    return x, diverged | ~converged
+
+
+def _finalize_projection(system, state, pos, mu, dh2_flow_mom_dmom,
+                         time_step, success, prepare):
+    """Apply the momentum correction and package the solved state.
+
+    Preserves the direction indicator and accumulated error bits of the
+    input state (only pos/mom/aux are updated).
+    """
+    mom = state.mom - jnp.sign(time_step) * (dh2_flow_mom_dmom @ mu)
+    state = state.replace(pos=pos, mom=mom, aux={})
+    if prepare:
+        state = system.prepare_state(state)
+    return state.with_error_bit(errors.CONVERGENCE_BIT, ~success)
+
+
+def solve_projection_onto_manifold_quasi_newton(
+    state, state_prev, time_step, system, constraint_tol=1e-9,
+    position_tol=1e-8, divergence_tol=1e10, max_iters=50,
+    norm=maximum_norm, _prepare_result=True,
+):
+    r"""Solve constraint equation using symmetric quasi-Newton method.
+
+    Solves ``c(Phi_2(t)(q, p + dc(q)^T lambda)) = 0`` for the Lagrange
+    multipliers projecting a post-``h2_flow`` state onto the manifold, with
+    the residual Jacobian frozen at the previous state so a single matrix
+    decomposition (hoisted outside the iteration loop) is reused.
+
+    Reference: mici/solvers.py:195-343.  Failure (divergence, NaN, or
+    ``max_iters`` exhaustion) sets the CONVERGENCE error bit on the
+    returned state instead of raising.
+    """
+    jacob_constr_prev = system.jacob_constr(state_prev)
+    dh2_flow_pos_dmom, dh2_flow_mom_dmom = system.dh2_flow_dmom(
+        state_prev, jnp.abs(time_step),
+    )
+    # ``.inv`` triggers the factorization *here*, outside the loop, so the
+    # decomposition is computed once (mici/solvers.py:314-317).
+    inv_jacob_constr_inner_product = system.jacob_constr_inner_product(
+        jacob_constr_prev, dh2_flow_pos_dmom,
+    ).inv
+
+    def cond(carry):
+        i, _pos, _mu, converged, diverged = carry
+        return (i < max_iters) & ~converged & ~diverged
+
+    def body(carry):
+        i, pos, mu, _, _ = carry
+        constr = system._constr(pos)
+        error = norm(constr)
+        delta_mu = jacob_constr_prev.T @ (
+            inv_jacob_constr_inner_product @ constr
+        )
+        delta_pos = dh2_flow_pos_dmom @ delta_mu
+        diverged = (error > divergence_tol) | jnp.isnan(error)
+        converged = (error < constraint_tol) & (norm(delta_pos) < position_tol)
+        apply = ~(converged | diverged)
+        pos = jnp.where(apply, pos - delta_pos, pos)
+        mu = jnp.where(apply, mu + delta_mu, mu)
+        return (i + 1, pos, mu, converged, diverged)
+
+    init = (
+        jnp.int32(0), state.pos, jnp.zeros_like(state.pos),
+        jnp.bool_(False), jnp.bool_(False),
+    )
+    _, pos, mu, converged, _diverged = lax.while_loop(cond, body, init)
+    return _finalize_projection(
+        system, state, pos, mu, dh2_flow_mom_dmom, time_step,
+        converged, _prepare_result,
+    )
+
+
+def solve_projection_onto_manifold_newton(
+    state, state_prev, time_step, system, constraint_tol=1e-9,
+    position_tol=1e-8, divergence_tol=1e10, max_iters=50,
+    norm=maximum_norm, _prepare_result=True,
+):
+    r"""Solve constraint equation using Newton's method.
+
+    Re-evaluates the constraint Jacobian and re-factorizes the residual
+    Jacobian on every iteration.  Reference: mici/solvers.py:346-469.
+    """
+    jacob_constr_prev = system.jacob_constr(state_prev)
+    dh2_flow_pos_dmom, dh2_flow_mom_dmom = system.dh2_flow_dmom(
+        state_prev, jnp.abs(time_step),
+    )
+
+    def cond(carry):
+        i, _pos, _mu, converged, diverged = carry
+        return (i < max_iters) & ~converged & ~diverged
+
+    def body(carry):
+        i, pos, mu, _, _ = carry
+        jacob_constr, constr = system._jacob_constr(pos)
+        error = norm(constr)
+        delta_mu = jacob_constr_prev.T @ (
+            system.jacob_constr_inner_product(
+                jacob_constr, dh2_flow_pos_dmom, jacob_constr_prev,
+            ).inv
+            @ constr
+        )
+        delta_pos = dh2_flow_pos_dmom @ delta_mu
+        diverged = (error > divergence_tol) | jnp.isnan(error)
+        converged = (error < constraint_tol) & (norm(delta_pos) < position_tol)
+        apply = ~(converged | diverged)
+        pos = jnp.where(apply, pos - delta_pos, pos)
+        mu = jnp.where(apply, mu + delta_mu, mu)
+        return (i + 1, pos, mu, converged, diverged)
+
+    init = (
+        jnp.int32(0), state.pos, jnp.zeros_like(state.pos),
+        jnp.bool_(False), jnp.bool_(False),
+    )
+    _, pos, mu, converged, _diverged = lax.while_loop(cond, body, init)
+    return _finalize_projection(
+        system, state, pos, mu, dh2_flow_mom_dmom, time_step,
+        converged, _prepare_result,
+    )
+
+
+def solve_projection_onto_manifold_newton_with_line_search(
+    state, state_prev, time_step, system, constraint_tol=1e-9,
+    position_tol=1e-8, divergence_tol=1e10, max_iters=50,
+    max_line_search_iters=10, norm=maximum_norm, _prepare_result=True,
+):
+    r"""Solve constraint equation using Newton's method with backtracking.
+
+    As :func:`solve_projection_onto_manifold_newton` but scaling each Newton
+    update by a step size found by halving until the constraint residual
+    norm decreases.  Reference: mici/solvers.py:472-614.
+    """
+    jacob_constr_prev = system.jacob_constr(state_prev)
+    dh2_flow_pos_dmom, dh2_flow_mom_dmom = system.dh2_flow_dmom(
+        state_prev, jnp.abs(time_step),
+    )
+
+    def cond(carry):
+        i, _pos, _mu, converged, diverged, _prev_step_delta = carry
+        return (i < max_iters) & ~converged & ~diverged
+
+    def body(carry):
+        i, pos, mu, _, _, _prev_step_delta = carry
+        jacob_constr, constr = system._jacob_constr(pos)
+        error = norm(constr)
+        diverged = (i > 0) & ((error > divergence_tol) | jnp.isnan(error))
+        converged = (error < constraint_tol) & (
+            (i == 0) | (_prev_step_delta < position_tol)
+        )
+        delta_mu = jacob_constr_prev.T @ (
+            system.jacob_constr_inner_product(
+                jacob_constr, dh2_flow_pos_dmom, jacob_constr_prev,
+            ).inv
+            @ constr
+        )
+        delta_pos = -(dh2_flow_pos_dmom @ delta_mu)
+
+        # Backtracking line search (mici/solvers.py:597-604): keep the first
+        # step size in (1, 1/2, 1/4, ...) that decreases the residual norm
+        # (falling back to the smallest candidate if none does), masked so
+        # the search runs a bounded number of candidate evaluations.
+        def ls_body(ls_i, ls_carry):
+            step_size, found = ls_carry
+            trial_pos = pos + step_size * delta_pos
+            new_error = norm(system._constr(trial_pos))
+            success = new_error < error
+            step_size = jnp.where(~found & ~success, step_size * 0.5,
+                                  step_size)
+            return (step_size, found | success)
+
+        step_size, _found = lax.fori_loop(
+            0, max_line_search_iters, ls_body,
+            (jnp.asarray(1.0, dtype=pos.dtype), jnp.bool_(False)),
+        )
+        apply = ~(converged | diverged)
+        pos = jnp.where(apply, pos + step_size * delta_pos, pos)
+        mu = jnp.where(apply, mu + step_size * delta_mu, mu)
+        step_delta_norm = norm(step_size * delta_pos)
+        return (i + 1, pos, mu, converged, diverged, step_delta_norm)
+
+    init = (
+        jnp.int32(0), state.pos, jnp.zeros_like(state.pos),
+        jnp.bool_(False), jnp.bool_(False),
+        jnp.asarray(jnp.inf, dtype=state.pos.dtype),
+    )
+    _, pos, mu, converged, _diverged, _ = lax.while_loop(cond, body, init)
+    return _finalize_projection(
+        system, state, pos, mu, dh2_flow_mom_dmom, time_step,
+        converged, _prepare_result,
+    )

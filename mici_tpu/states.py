@@ -24,7 +24,7 @@ from mici_tpu._pytree import register_pytree
 from mici_tpu import errors
 
 
-@register_pytree(data_fields=("pos", "mom", "dir", "error"))
+@register_pytree(data_fields=("pos", "mom", "dir", "error", "aux"))
 class ChainState:
     """Immutable chain state: position, momentum, integration direction.
 
@@ -32,9 +32,17 @@ class ChainState:
     an immutable pytree; use :meth:`replace` (or keyword-style ``copy``) to
     derive updated states.  ``error`` is an int32 bitmask of in-flight
     integrator error flags (see :mod:`mici_tpu.errors`).
+
+    ``aux`` is a dict pytree of *position-dependent* derived quantities
+    (negative log density value/gradient, metric operator, constraint
+    Jacobian, ...) threaded through integrator steps — the explicit,
+    compiler-friendly replacement for the reference's dependency-tracked
+    memoization cache (mici/states.py:37-157).  It is managed by
+    ``system.prepare_state`` and integrator steps; user code can ignore it.
     """
 
-    def __init__(self, pos, mom=None, dir=1, error=None, _read_only=False):
+    def __init__(self, pos, mom=None, dir=1, error=None, aux=None,
+                 _read_only=False):
         pos = jnp.asarray(pos)
         object.__setattr__(self, "pos", pos)
         object.__setattr__(
@@ -44,6 +52,7 @@ class ChainState:
         if error is None:
             error = jnp.zeros((), dtype=jnp.int32)
         object.__setattr__(self, "error", jnp.asarray(error, jnp.int32))
+        object.__setattr__(self, "aux", {} if aux is None else aux)
 
     def __setattr__(self, name, value):
         msg = (
