@@ -1,0 +1,828 @@
+"""Markov transition kernels.
+
+Reference: mici/transitions.py (858 LoC).  Every transition is a pure
+function ``sample(state, rng) -> (state, stats)`` over immutable pytree
+state with an explicit JAX PRNG key; integrator failures arrive as error
+bits on the state (not exceptions) and are folded into the statistics
+dictionary (cf. ``_process_integrator_error``, mici/transitions.py:33-43).
+
+The dynamic (NUTS) transitions re-derive the reference's *recursive*
+binary-tree expansion (mici/transitions.py:645-770) as an **iterative**
+algorithm compatible with ``lax.while_loop``/``vmap``:
+
+* The doubling loop keeps only the two full edge states of the current
+  trajectory tree plus its momentum sum and log weight.
+* A subtree of depth ``d`` is built leaf-by-leaf; the termination checks the
+  recursion performs at every internal node — the whole-subtree no-U-turn
+  check plus the two *extra overlapping-subtree* checks of
+  mici/transitions.py:561-590 — are reproduced exactly from leaf-index bit
+  arithmetic: when leaf ``i`` completes aligned subtrees of scales
+  ``l = 1..trailing_ones(i)``, the states and momentum prefix-sums needed
+  by those checks are read from two O(max_tree_depth) checkpoint buffers
+  (subtree *start* leaves, indexed by trailing-zero count, and completed
+  *left-half end* leaves, indexed by trailing-one count).
+* Progressive proposal sampling uses a per-leaf reservoir scheme that has
+  exactly the same marginal distribution (proportional to leaf weights) as
+  the reference's per-merge binary scheme.
+* ``LogRepFloat`` tree weights (mici/utils.py:85-200) become plain
+  log-space scalars combined with ``logaddexp``.
+"""
+
+from __future__ import annotations
+
+import abc
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mici_tpu import errors
+from mici_tpu._pytree import register_pytree
+
+
+def _where_tree(pred, a, b):
+    """Select between two identically-structured pytrees elementwise."""
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(pred, x, y), a, b,
+    )
+
+
+def _buf_set(buf, idx, val):
+    return jax.tree_util.tree_map(
+        lambda b, v: b.at[idx].set(v), buf, val,
+    )
+
+
+def _buf_get(buf, idx):
+    return jax.tree_util.tree_map(lambda b: b[idx], buf)
+
+
+def _zeros_like_stacked(tree, length):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.zeros((length,) + jnp.shape(x),
+                            dtype=jnp.result_type(x)),
+        tree,
+    )
+
+
+def _trailing_zeros(i):
+    """Number of trailing zero bits of positive int32 ``i``."""
+    lowest = i & -i
+    return jnp.log2(lowest.astype(jnp.float32)).astype(jnp.int32)
+
+
+@register_pytree(data_fields=("pos", "mom", "vel"))
+class _TreePoint:
+    """Light-weight trajectory point: position, momentum and velocity.
+
+    ``vel`` caches ``system.dh_dmom`` at the point so Riemannian
+    termination criteria do not rebuild the metric.
+    """
+
+    def __init__(self, pos, mom, vel):
+        object.__setattr__(self, "pos", pos)
+        object.__setattr__(self, "mom", mom)
+        object.__setattr__(self, "vel", vel)
+
+
+class _VelocityProxySystem:
+    """System proxy whose ``dh_dmom`` reads the cached point velocity.
+
+    Lets the built-in termination criteria keep the reference signature
+    ``criterion(system, state_1, state_2, sum_mom)``
+    (mici/transitions.py:405-474) while operating on checkpointed points.
+    """
+
+    def dh_dmom(self, point):
+        return point.vel
+
+
+_VELOCITY_PROXY = _VelocityProxySystem()
+
+
+def euclidean_no_u_turn_criterion(system, state_1, state_2, _sum_mom):
+    """No-U-turn termination criterion for Euclidean manifolds.
+
+    Reference: mici/transitions.py:405-436 (Hoffman & Gelman 2014).
+    """
+    diff = state_2.pos - state_1.pos
+    return (jnp.sum(system.dh_dmom(state_1) * diff) < 0) | (
+        jnp.sum(system.dh_dmom(state_2) * diff) < 0
+    )
+
+
+def riemannian_no_u_turn_criterion(system, state_1, state_2, sum_mom):
+    """Generalized no-U-turn criterion on Riemannian manifolds.
+
+    Reference: mici/transitions.py:439-474 (Betancourt 2013).
+    """
+    return (jnp.sum(system.dh_dmom(state_1) * sum_mom) < 0) | (
+        jnp.sum(system.dh_dmom(state_2) * sum_mom) < 0
+    )
+
+
+class Transition(abc.ABC):
+    """Base class for Markov transition kernels.
+
+    Reference: mici/transitions.py:46-84.
+    """
+
+    @property
+    @abc.abstractmethod
+    def state_variables(self):
+        """A set of names of state variables accessed by this transition."""
+
+    @property
+    def statistic_types(self):
+        """Dict of statistic name -> (dtype, default) computed by sample."""
+        return None
+
+    @abc.abstractmethod
+    def sample(self, state, rng):
+        """Sample a new chain state from the Markov transition kernel.
+
+        Args:
+            state: Current (prepared) chain state.
+            rng: JAX PRNG key.
+
+        Returns:
+            Tuple of (new state, statistics dict or None).
+        """
+
+
+class MomentumTransition(Transition):
+    """Base class for transitions leaving the momentum conditional invariant.
+
+    Reference: mici/transitions.py:87-127.
+    """
+
+    @property
+    def state_variables(self):
+        return {"mom"}
+
+    def __init__(self, system):
+        self.system = system
+
+
+@register_pytree(data_fields=("system",))
+class IndependentMomentumTransition(MomentumTransition):
+    """Independent momentum resampling. Reference: mici/transitions.py:129-142."""
+
+    def sample(self, state, rng):
+        return state.replace(
+            mom=self.system.sample_momentum(state, rng),
+        ), None
+
+
+@register_pytree(data_fields=("system",),
+                 static_fields=("mom_resample_coeff",))
+class CorrelatedMomentumTransition(MomentumTransition):
+    """Crank-Nicolson partial momentum refresh (Horowitz 1991).
+
+    Reference: mici/transitions.py:145-198.
+    """
+
+    def __init__(self, system, mom_resample_coeff=1.0):
+        if not 0 <= mom_resample_coeff <= 1:
+            msg = ("mom_resample_coeff should have a value in the interval "
+                   "[0, 1].")
+            raise ValueError(msg)
+        super().__init__(system)
+        self.mom_resample_coeff = mom_resample_coeff
+
+    def sample(self, state, rng):
+        if state.mom is None or self.mom_resample_coeff == 1:
+            return state.replace(
+                mom=self.system.sample_momentum(state, rng),
+            ), None
+        if self.mom_resample_coeff != 0:
+            mom_ind = self.system.sample_momentum(state, rng)
+            new_mom = (
+                state.mom * (1.0 - self.mom_resample_coeff**2) ** 0.5
+                + self.mom_resample_coeff * mom_ind
+            )
+            return state.replace(mom=new_mom), None
+        return state, None
+
+
+class IntegrationTransition(Transition):
+    """Base class for integration transitions.
+
+    Reference: mici/transitions.py:201-254.
+    """
+
+    @property
+    def state_variables(self):
+        return {"pos", "mom", "dir"}
+
+    def __init__(self, system, integrator):
+        self.system = system
+        self.integrator = integrator
+
+    @property
+    def statistic_types(self):
+        return {
+            "n_step": (jnp.int32, -1),
+            "accept_stat": (float, jnp.nan),
+            "non_reversible_step": (bool, False),
+            "convergence_error": (bool, False),
+            "step_size": (float, jnp.nan),
+        }
+
+
+def _error_flags(error_bits):
+    """Split an error bitmask into the reference's statistic flags."""
+    return {
+        "diverging": (error_bits & errors.DIVERGENCE_BIT) != 0,
+        "non_reversible_step":
+            (error_bits & errors.NON_REVERSIBLE_BIT) != 0,
+        "convergence_error":
+            (error_bits & (errors.CONVERGENCE_BIT | errors.LINALG_BIT)) != 0,
+    }
+
+
+class MetropolisIntegrationTransition(IntegrationTransition):
+    """HMC transition using a Metropolis accept step on an n-step trajectory.
+
+    Reference: mici/transitions.py:256-315.  The proposal is the trajectory
+    endpoint with negated integration direction (involution); the direction
+    is deterministically negated again after the accept decision.
+    """
+
+    @property
+    def statistic_types(self):
+        types = super().statistic_types
+        types["metrop_accept_prob"] = (float, jnp.nan)
+        return types
+
+    def _sample_n_step(self, state, n_step, rng):
+        state = state.clear_error()
+        h_init = self.system.h(state)
+
+        def cond(carry):
+            s, i, stopped = carry
+            return (i < n_step) & ~stopped
+
+        def body(carry):
+            s, i, _ = carry
+            s_new = self.integrator.step(s)
+            failed = s_new.error != 0
+            # On failure keep the pre-step state (the trajectory ends) but
+            # retain error bits for the statistics.
+            s_next = _where_tree(failed, s.replace(error=s_new.error), s_new)
+            return (s_next, i + 1, failed)
+
+        state_p, n_done, stopped = lax.while_loop(
+            cond, body, (state, jnp.int32(0), jnp.bool_(False)),
+        )
+        flags = _error_flags(state_p.error)
+        integration_error = state_p.error != 0
+        # Reverse integration direction of proposal to form an involution
+        # (mici/transitions.py:298-299).
+        state_p = state_p.replace(dir=-state_p.dir).clear_error()
+        h_final = self.system.h(state_p)
+        h_diff = h_init - h_final
+        accept_prob = jnp.where(
+            jnp.isnan(h_diff), 0.0, jnp.exp(jnp.minimum(0.0, h_diff)),
+        )
+        accept_prob = jnp.where(integration_error, 0.0, accept_prob)
+        accepted = (
+            jax.random.uniform(rng, dtype=h_init.dtype) < accept_prob
+        ) & ~integration_error
+        new_state = _where_tree(accepted, state_p, state)
+        # Reverse integration direction of new state (mici :311-314).
+        new_state = new_state.replace(dir=-new_state.dir)
+        stats = {
+            "n_step": jnp.where(integration_error, n_done - 1, n_done),
+            "accept_stat": accept_prob,
+            "metrop_accept_prob": accept_prob,
+            "non_reversible_step": flags["non_reversible_step"],
+            "convergence_error": flags["convergence_error"],
+            "step_size": jnp.abs(
+                jnp.asarray(self.integrator.step_size, dtype=h_init.dtype),
+            ),
+        }
+        return new_state, stats
+
+
+@register_pytree(data_fields=("system", "integrator"),
+                 static_fields=("n_step",))
+class MetropolisStaticIntegrationTransition(MetropolisIntegrationTransition):
+    """Static (fixed step count) Metropolis HMC transition.
+
+    Reference: mici/transitions.py:318-352 (Duane et al. 1987).
+    """
+
+    def __init__(self, system, integrator, n_step):
+        if n_step <= 0:
+            msg = "Number of integrator steps must be positive."
+            raise ValueError(msg)
+        super().__init__(system, integrator)
+        self.n_step = n_step
+
+    def sample(self, state, rng):
+        return self._sample_n_step(state, self.n_step, rng)
+
+
+@register_pytree(data_fields=("system", "integrator"),
+                 static_fields=("n_step_range",))
+class MetropolisRandomIntegrationTransition(MetropolisIntegrationTransition):
+    """Random step count Metropolis HMC transition.
+
+    Reference: mici/transitions.py:355-402 (Neal 2011; Mackenzie 1989).
+    """
+
+    def __init__(self, system, integrator, n_step_range):
+        n_step_lower, n_step_upper = n_step_range
+        if not (n_step_lower > 0 and n_step_lower < n_step_upper):
+            msg = ("Range bounds must be non-negative and first entry less "
+                   "than last.")
+            raise ValueError(msg)
+        super().__init__(system, integrator)
+        self.n_step_range = tuple(n_step_range)
+
+    def sample(self, state, rng):
+        key_n, key_acc = jax.random.split(rng)
+        n_step = jax.random.randint(
+            key_n, (), self.n_step_range[0], self.n_step_range[1],
+        )
+        return self._sample_n_step(state, n_step, key_acc)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic (NUTS) transitions
+# ---------------------------------------------------------------------------
+
+
+class DynamicIntegrationTransition(IntegrationTransition):
+    """Base class for dynamic integration transitions (NUTS-style).
+
+    Reference: mici/transitions.py:487-770; see the module docstring for the
+    recursive-to-iterative re-derivation.
+    """
+
+    def __init__(self, system, integrator, *, max_tree_depth=10,
+                 max_delta_h=1000.0,
+                 termination_criterion=riemannian_no_u_turn_criterion,
+                 do_extra_subtree_checks=True):
+        if max_tree_depth <= 0:
+            msg = "max_tree_depth must be non-negative."
+            raise ValueError(msg)
+        super().__init__(system, integrator)
+        self.max_tree_depth = max_tree_depth
+        self.max_delta_h = max_delta_h
+        self.termination_criterion = termination_criterion
+        self.do_extra_subtree_checks = do_extra_subtree_checks
+
+    @property
+    def statistic_types(self):
+        types = super().statistic_types
+        types["av_metrop_accept_prob"] = (float, jnp.nan)
+        types["reject_prob"] = (float, jnp.nan)
+        types["tree_depth"] = (jnp.int32, -1)
+        types["diverging"] = (bool, False)
+        return types
+
+    # -- weight algebra (subclass hooks) -----------------------------------
+
+    @abc.abstractmethod
+    def _weight_at_leaf(self, h, aux_vars):
+        """Weight of a single leaf (log-space for multinomial)."""
+
+    @abc.abstractmethod
+    def _zero_weight(self, dtype):
+        """Additive identity for weights."""
+
+    @abc.abstractmethod
+    def _combine_weights(self, w1, w2):
+        pass
+
+    @abc.abstractmethod
+    def _weight_ratio(self, numerator, denominator):
+        pass
+
+    @abc.abstractmethod
+    def _is_divergent(self, h, aux_vars):
+        pass
+
+    # -- termination criterion wrappers ------------------------------------
+
+    def _point(self, state):
+        return _TreePoint(
+            state.pos, state.mom, self.system.dh_dmom(state),
+        )
+
+    def _crit(self, dir, first_point, last_point, sum_mom):
+        """Oriented termination criterion.
+
+        ``first_point``/``last_point`` are in *build* order; under backwards
+        integration the build order is the reverse of the time order the
+        criterion expects, so the arguments are swapped.
+        """
+        fwd = self.termination_criterion(
+            _VELOCITY_PROXY, first_point, last_point, sum_mom,
+        )
+        bwd = self.termination_criterion(
+            _VELOCITY_PROXY, last_point, first_point, sum_mom,
+        )
+        return jnp.where(dir == 1, fwd, bwd)
+
+    # -- subtree build ------------------------------------------------------
+
+    def _build_subtree(self, edge_state, depth, aux_vars, rng):
+        """Iteratively build a subtree of ``2**depth`` new leaves.
+
+        Reproduces the per-internal-node termination checks of the
+        reference recursion (mici/transitions.py:645-706) using checkpoint
+        buffers; see module docstring.
+
+        Returns a dict with the subtree edges (full states, build order),
+        momentum sum, weight, sampled proposal, termination/error flags and
+        accumulated statistics.
+        """
+        max_depth = self.max_tree_depth
+        n_leaf = jnp.left_shift(jnp.int32(1), depth)
+        h_init = aux_vars["h_init"]
+        dtype = h_init.dtype
+        dir = edge_state.dir
+
+        state0 = edge_state.clear_error()
+        point0 = self._point(state0)
+        zero_mom = jnp.zeros_like(state0.mom)
+
+        start_ckpt = _zeros_like_stacked(point0, max_depth + 1)
+        start_prefix = _zeros_like_stacked(zero_mom, max_depth + 1)
+        end_ckpt = _zeros_like_stacked(point0, max_depth + 1)
+
+        carry = {
+            "i": jnp.int32(0),
+            "state": state0,
+            "first_leaf": state0,   # placeholder, set at i == 0
+            "proposal": state0,
+            "weight": self._zero_weight(dtype),
+            "cum_mom": zero_mom,
+            "start_ckpt": start_ckpt,
+            "start_prefix": start_prefix,
+            "end_ckpt": end_ckpt,
+            "uturn": jnp.bool_(False),
+            "error_bits": jnp.int32(0),
+            "diverging": jnp.bool_(False),
+            "n_step": jnp.int32(0),
+            "sum_accept_prob": jnp.zeros((), dtype),
+            "rng": rng,
+        }
+
+        def cond(c):
+            return (c["i"] < n_leaf) & ~c["uturn"] & (c["error_bits"] == 0) \
+                & ~c["diverging"]
+
+        def body(c):
+            i = c["i"]
+            key, key_prop = jax.random.split(c["rng"])
+            stepped = self.integrator.step(c["state"])
+            error_bits = stepped.error
+            int_error = error_bits != 0
+            leaf = stepped.clear_error()
+            h = self.system.h(leaf)
+            h = jnp.where(jnp.isnan(h), jnp.inf, h)
+            diverging = self._is_divergent(h, aux_vars) & ~int_error
+            ok = ~int_error  # leaf counts toward stats unless step failed
+
+            h_diff = h_init - h
+            accept_prob = jnp.where(
+                jnp.isnan(h_diff), 0.0, jnp.exp(jnp.minimum(0.0, h_diff)),
+            )
+            n_step = c["n_step"] + jnp.where(ok, 1, 0)
+            sum_accept_prob = c["sum_accept_prob"] + jnp.where(
+                ok, accept_prob, 0.0,
+            )
+
+            # A leaf on a divergent/failed step terminates the build; its
+            # state never enters the tree (mici/transitions.py:670-672).
+            valid = ok & ~diverging
+
+            leaf_w = self._weight_at_leaf(h, aux_vars)
+            new_weight = self._combine_weights(c["weight"], leaf_w)
+            accept_leaf = (
+                jax.random.uniform(key_prop, dtype=dtype)
+                < self._weight_ratio(leaf_w, new_weight)
+            ) | (i == 0)
+            proposal = _where_tree(
+                valid & accept_leaf, leaf, c["proposal"],
+            )
+            weight = jnp.where(valid, new_weight, c["weight"])
+
+            point = self._point(leaf)
+            prefix_before = c["cum_mom"]
+            cum_mom = jnp.where(valid, c["cum_mom"] + leaf.mom, c["cum_mom"])
+
+            first_leaf = _where_tree(i == 0, leaf, c["first_leaf"])
+
+            # --- checkpoint stores -----------------------------------------
+            z = jnp.where(
+                i == 0, jnp.int32(max_depth), _trailing_zeros(
+                    jnp.maximum(i, 1),
+                ),
+            )
+            z = jnp.minimum(z, max_depth)
+            start_ckpt = _buf_set(c["start_ckpt"], z, point)
+            start_prefix = _buf_set(c["start_prefix"], z, prefix_before)
+            t = jnp.minimum(_trailing_zeros(i + 1), max_depth)
+            end_ckpt = _buf_set(c["end_ckpt"], t, point)
+
+            # --- per-merge termination checks ------------------------------
+            # Leaf i completes aligned subtrees of scales l = 1..t.
+            uturn = jnp.bool_(False)
+            cum_after = cum_mom
+            for scale in range(1, max_depth + 1):
+                length = 1 << scale
+                active = (scale <= t) & valid
+                a = i - length + 1
+                z_a = jnp.where(
+                    a == 0, jnp.int32(max_depth),
+                    _trailing_zeros(jnp.maximum(a, 1)),
+                )
+                z_a = jnp.minimum(z_a, max_depth)
+                start_pt = _buf_get(start_ckpt, z_a)
+                prefix_a = _buf_get(start_prefix, z_a)
+                seg_sum = cum_after - prefix_a
+                whole = self._crit(dir, start_pt, point, seg_sum)
+                check = whole
+                if self.do_extra_subtree_checks and scale >= 2:
+                    mid_pt = _buf_get(start_ckpt, scale - 1)
+                    prefix_mid = _buf_get(start_prefix, scale - 1)
+                    end_left_pt = _buf_get(end_ckpt, scale - 1)
+                    sum_x1 = (prefix_mid - prefix_a) + mid_pt.mom
+                    sum_x2 = (cum_after - prefix_mid) + end_left_pt.mom
+                    x1 = self._crit(dir, start_pt, mid_pt, sum_x1)
+                    x2 = self._crit(dir, end_left_pt, point, sum_x2)
+                    check = whole | x1 | x2
+                uturn = uturn | (active & check)
+
+            return {
+                "i": i + 1,
+                "state": leaf,
+                "first_leaf": first_leaf,
+                "proposal": proposal,
+                "weight": weight,
+                "cum_mom": cum_mom,
+                "start_ckpt": start_ckpt,
+                "start_prefix": start_prefix,
+                "end_ckpt": end_ckpt,
+                "uturn": uturn,
+                "error_bits": error_bits,
+                "diverging": c["diverging"] | diverging,
+                "n_step": n_step,
+                "sum_accept_prob": sum_accept_prob,
+                "rng": key,
+            }
+
+        out = lax.while_loop(cond, body, carry)
+        terminated = out["uturn"] | (out["error_bits"] != 0) \
+            | out["diverging"]
+        return {
+            "first_leaf": out["first_leaf"],
+            "last_leaf": out["state"],
+            "sum_mom": out["cum_mom"],
+            "weight": out["weight"],
+            "proposal": out["proposal"],
+            "terminated": terminated,
+            "error_bits": out["error_bits"],
+            "diverging": out["diverging"],
+            "n_step": out["n_step"],
+            "sum_accept_prob": out["sum_accept_prob"],
+        }
+
+    # -- auxiliary variables ------------------------------------------------
+
+    def _init_aux_vars(self, state, h_init, rng):
+        return {"h_init": h_init}
+
+    # -- top-level doubling loop --------------------------------------------
+
+    def sample(self, state, rng):
+        state = state.clear_error()
+        system = self.system
+        dtype = state.pos.dtype
+        h_init = system.h(state)
+        h_init = jnp.where(jnp.isnan(h_init), jnp.inf, h_init)
+        key_aux, key_loop = jax.random.split(rng)
+        aux_vars = self._init_aux_vars(state, h_init, key_aux)
+
+        init_weight = self._weight_at_leaf(h_init, aux_vars)
+
+        carry = {
+            "depth": jnp.int32(0),
+            "terminated": jnp.bool_(False),
+            "neg_state": state,
+            "pos_state": state,
+            "sum_mom": jnp.asarray(state.mom),
+            "weight": init_weight,
+            "next_state": state,
+            "n_step": jnp.int32(0),
+            "sum_accept_prob": jnp.zeros((), dtype),
+            "reject_prob": jnp.ones((), dtype),
+            "diverging": jnp.bool_(False),
+            "non_reversible_step": jnp.bool_(False),
+            "convergence_error": jnp.bool_(False),
+            "tree_depth": jnp.int32(0),
+            "rng": key_loop,
+        }
+
+        def cond(c):
+            return (c["depth"] < self.max_tree_depth) & ~c["terminated"]
+
+        def body(c):
+            key, key_dir, key_acc = jax.random.split(c["rng"], 3)
+            direction = jnp.where(
+                jax.random.uniform(key_dir, dtype=dtype) < 0.5,
+                jnp.int32(1), jnp.int32(-1),
+            )
+            edge = _where_tree(
+                direction == 1, c["pos_state"], c["neg_state"],
+            ).replace(dir=direction)
+            sub = self._build_subtree(edge, c["depth"], aux_vars, key)
+
+            flags = _error_flags(sub["error_bits"])
+            diverging = c["diverging"] | sub["diverging"]
+            non_reversible = (c["non_reversible_step"]
+                              | flags["non_reversible_step"])
+            convergence_error = (c["convergence_error"]
+                                 | flags["convergence_error"])
+
+            built_ok = ~sub["terminated"]
+
+            # Progressive proposal acceptance biased towards new subtree
+            # (mici/transitions.py:740-749).
+            accept_proposal_prob = self._weight_ratio(
+                sub["weight"], c["weight"],
+            )
+            accept = built_ok & (
+                jax.random.uniform(key_acc, dtype=dtype)
+                < accept_proposal_prob
+            )
+            next_state = _where_tree(accept, sub["proposal"],
+                                     c["next_state"])
+            reject_prob = jnp.where(
+                built_ok,
+                c["reject_prob"] * (1.0 - accept_proposal_prob),
+                c["reject_prob"],
+            )
+
+            # Merge new subtree into tree (mici/transitions.py:750-753).
+            sub_neg = _where_tree(
+                direction == 1, sub["first_leaf"], sub["last_leaf"],
+            )
+            sub_pos = _where_tree(
+                direction == 1, sub["last_leaf"], sub["first_leaf"],
+            )
+            new_neg = _where_tree(direction == 1, c["neg_state"], sub_neg)
+            new_pos = _where_tree(direction == 1, sub_pos, c["pos_state"])
+            new_sum_mom = c["sum_mom"] + sub["sum_mom"]
+            new_weight = self._combine_weights(c["weight"], sub["weight"])
+
+            # Termination criterion on merged tree + overlapping subtrees
+            # (mici/transitions.py:561-590, :754-756).
+            neg_pt = self._point(new_neg)
+            pos_pt = self._point(new_pos)
+            whole = self.termination_criterion(
+                _VELOCITY_PROXY, neg_pt, pos_pt, new_sum_mom,
+            )
+            if self.do_extra_subtree_checks:
+                old_neg_pt = self._point(c["neg_state"])
+                old_pos_pt = self._point(c["pos_state"])
+                sub_neg_pt = self._point(sub_neg)
+                sub_pos_pt = self._point(sub_pos)
+                # neg/pos subtree assignment by direction
+                nst_neg, nst_pos, nst_sum = jax.tree_util.tree_map(
+                    lambda old, new: jnp.where(direction == 1, old, new),
+                    (old_neg_pt, old_pos_pt, c["sum_mom"]),
+                    (sub_neg_pt, sub_pos_pt, sub["sum_mom"]),
+                )
+                pst_neg, pst_pos, pst_sum = jax.tree_util.tree_map(
+                    lambda old, new: jnp.where(direction == 1, new, old),
+                    (old_neg_pt, old_pos_pt, c["sum_mom"]),
+                    (sub_neg_pt, sub_pos_pt, sub["sum_mom"]),
+                )
+                extra_active = c["depth"] >= 1  # merged depth > 1
+                x1 = self.termination_criterion(
+                    _VELOCITY_PROXY, nst_neg, pst_neg,
+                    nst_sum + pst_neg.mom,
+                )
+                x2 = self.termination_criterion(
+                    _VELOCITY_PROXY, nst_pos, pst_pos,
+                    pst_sum + nst_pos.mom,
+                )
+                whole = whole | (extra_active & (x1 | x2))
+
+            merged_terminate = built_ok & whole
+
+            return {
+                "depth": c["depth"] + 1,
+                "terminated": sub["terminated"] | merged_terminate,
+                "neg_state": _where_tree(built_ok, new_neg, c["neg_state"]),
+                "pos_state": _where_tree(built_ok, new_pos, c["pos_state"]),
+                "sum_mom": jnp.where(built_ok, new_sum_mom, c["sum_mom"]),
+                "weight": jnp.where(built_ok, new_weight, c["weight"]),
+                "next_state": next_state,
+                "n_step": c["n_step"] + sub["n_step"],
+                "sum_accept_prob":
+                    c["sum_accept_prob"] + sub["sum_accept_prob"],
+                "reject_prob": reject_prob,
+                "diverging": diverging,
+                "non_reversible_step": non_reversible,
+                "convergence_error": convergence_error,
+                "tree_depth": c["depth"],
+                "rng": key,
+            }
+
+        out = lax.while_loop(cond, body, carry)
+
+        n_step = out["n_step"]
+        av_accept = jnp.where(
+            n_step > 0, out["sum_accept_prob"] / jnp.maximum(n_step, 1), 0.0,
+        )
+        any_error = (out["diverging"] | out["non_reversible_step"]
+                     | out["convergence_error"])
+        accept_stat = jnp.where(any_error, 0.0, av_accept)
+        stats = {
+            "n_step": n_step,
+            "accept_stat": accept_stat,
+            "av_metrop_accept_prob": av_accept,
+            "reject_prob": out["reject_prob"],
+            "tree_depth": out["tree_depth"],
+            "diverging": out["diverging"],
+            "non_reversible_step": out["non_reversible_step"],
+            "convergence_error": out["convergence_error"],
+            "step_size": jnp.abs(jnp.asarray(
+                self.integrator.step_size, dtype=dtype,
+            )),
+        }
+        return out["next_state"], stats
+
+
+@register_pytree(
+    data_fields=("system", "integrator"),
+    static_fields=("max_tree_depth", "max_delta_h", "termination_criterion",
+                   "do_extra_subtree_checks"),
+)
+class MultinomialDynamicIntegrationTransition(DynamicIntegrationTransition):
+    """Dynamic integration transition with multinomial proposal sampling.
+
+    Reference: mici/transitions.py:773-809 (Betancourt 2017).  Tree weights
+    are carried in log space (``w = -h``), replacing ``LogRepFloat``.
+    """
+
+    def _weight_at_leaf(self, h, aux_vars):
+        return -h
+
+    def _zero_weight(self, dtype):
+        return jnp.asarray(-jnp.inf, dtype)
+
+    def _combine_weights(self, w1, w2):
+        return jnp.logaddexp(w1, w2)
+
+    def _weight_ratio(self, numerator, denominator):
+        return jnp.exp(jnp.minimum(numerator - denominator, 0.0))
+
+    def _is_divergent(self, h, aux_vars):
+        return h - aux_vars["h_init"] > self.max_delta_h
+
+
+@register_pytree(
+    data_fields=("system", "integrator"),
+    static_fields=("max_tree_depth", "max_delta_h", "termination_criterion",
+                   "do_extra_subtree_checks"),
+)
+class SliceDynamicIntegrationTransition(DynamicIntegrationTransition):
+    """Dynamic integration transition with slice-sampled proposals.
+
+    Reference: mici/transitions.py:812-858 (Hoffman & Gelman 2014, Alg. 3
+    when used with the Euclidean no-U-turn criterion).
+    """
+
+    def _init_aux_vars(self, state, h_init, rng):
+        log_u = jnp.log(
+            jax.random.uniform(rng, dtype=h_init.dtype),
+        ) - h_init
+        return {"h_init": h_init, "log_u": log_u}
+
+    def _weight_at_leaf(self, h, aux_vars):
+        return (aux_vars["log_u"] <= -h).astype(h.dtype)
+
+    def _zero_weight(self, dtype):
+        return jnp.zeros((), dtype)
+
+    def _combine_weights(self, w1, w2):
+        return w1 + w2
+
+    def _weight_ratio(self, numerator, denominator):
+        safe_denominator = jnp.where(denominator > 0, denominator, 1.0)
+        return jnp.where(
+            denominator > 0,
+            jnp.minimum(numerator / safe_denominator, 1.0),
+            jnp.minimum(numerator, 1.0),
+        )
+
+    def _is_divergent(self, h, aux_vars):
+        return h + aux_vars["log_u"] > self.max_delta_h
