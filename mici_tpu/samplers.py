@@ -1,0 +1,768 @@
+"""Monte Carlo sampler classes for peforming inference.
+
+Reference: mici/samplers.py (1791 LoC).  The execution model is inverted
+relative to the reference (see SURVEY.md §7):
+
+* The reference's per-chain Python loop (``_sample_chain``,
+  mici/samplers.py:370-526) becomes a compiled ``lax.scan`` whose body runs
+  every transition and adapter update for one iteration; chains are batched
+  with ``vmap`` (one TPU chip) and, optionally, sharded over a device mesh
+  (see :mod:`mici_tpu.parallel`) — replacing the reference's process pools
+  and queues (mici/samplers.py:668-772).
+* Long runs are executed in *chunks*: each chunk is one device program and
+  its traces/statistics are streamed to preallocated host buffers
+  (optionally ``numpy.memmap`` files, mirroring mici/samplers.py:87-367) so
+  device memory stays bounded — the TPU equivalent of the reference's
+  memory-mapped trace storage.
+* Cross-chain adapter finalization (mici/samplers.py:651-665) is a
+  reduction over the chain axis executed between stages.
+* Per-chain RNG streams come from ``jax.random.split`` of a base key
+  (replacing ``Generator.jumped`` / ``SeedSequence.spawn``,
+  mici/samplers.py:546-565).
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mici_tpu.adapters import DualAveragingStepSizeAdapter
+from mici_tpu.errors import AdaptationError
+from mici_tpu.progressbars import (
+    DummyProgressBar,
+    LabelledSequenceProgressBar,
+    SequenceProgressBar,
+)
+from mici_tpu.stagers import WarmUpStager, WindowedWarmUpStager
+from mici_tpu.states import ChainState
+from mici_tpu.systems import (
+    ConstrainedTractableFlowSystem,
+)
+from mici_tpu.transitions import (
+    IndependentMomentumTransition,
+    MetropolisRandomIntegrationTransition,
+    MetropolisStaticIntegrationTransition,
+    MultinomialDynamicIntegrationTransition,
+    SliceDynamicIntegrationTransition,
+    euclidean_no_u_turn_criterion,
+    riemannian_no_u_turn_criterion,
+)
+
+
+def _as_key(rng):
+    """Coerce seed / numpy Generator / JAX key to a JAX PRNG key."""
+    if isinstance(rng, (int, np.integer)):
+        return jax.random.PRNGKey(int(rng))
+    if isinstance(rng, np.random.Generator):
+        return jax.random.PRNGKey(int(rng.integers(2**31 - 1)))
+    return rng
+
+
+def _stack_states(states):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _index_states(batched, index):
+    return jax.tree_util.tree_map(lambda x: x[index], batched)
+
+
+def _unstack_states(batched, n_chain):
+    return [_index_states(batched, i) for i in range(n_chain)]
+
+
+def _set_step_size(transition, step_size):
+    return transition.replace(
+        integrator=transition.integrator.replace(step_size=step_size),
+    )
+
+
+class SystemTraceFunc:
+    """Marker wrapping a trace function that depends on the system.
+
+    A plain trace function must be a pure function of the chain state: if it
+    closes over a system object the adapter-tuned metric would be baked into
+    the compiled stage as a stale constant.  Wrapping the function in this
+    class makes the sampler call it as ``func(state, system)`` with the
+    *current* system routed through the traced argument path.
+    """
+
+    def __init__(self, func):
+        self.func = func
+
+    def __call__(self, state, system):
+        return self.func(state, system)
+
+
+#: Default traced variables (reference: mici/samplers.py:1263-1269).
+default_hamiltonian_trace_func = SystemTraceFunc(
+    lambda state, system: {"pos": state.pos, "hamiltonian": system.h(state)},
+)
+
+
+def _propagate_system(transitions, system):
+    """Rebuild all transitions around an updated (shared) system pytree."""
+    new = {}
+    for key, transition in transitions.items():
+        updates = {"system": system}
+        if hasattr(transition, "integrator"):
+            updates["integrator"] = transition.integrator.replace(
+                system=system,
+            )
+        new[key] = transition.replace(**updates)
+    return new
+
+
+# ---------------------------------------------------------------------------
+# Compiled stage engine
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "trans_keys", "adapters", "trace_funcs", "n_iter",
+    ),
+)
+def _run_stage_chunk(transitions, states, keys, params, adapt_states, *,
+                     trans_keys, adapters, trace_funcs, n_iter):
+    """Run ``n_iter`` iterations for all chains (vmapped scan).
+
+    The compiled replacement for the reference's per-chain iteration loop
+    (mici/samplers.py:457-513): each iteration samples every transition in
+    order, applies the active adapters, and emits trace values and
+    transition statistics.
+
+    Args:
+        transitions: Dict of transition pytrees (broadcast over chains).
+        states: Chain states batched on leading axis.
+        keys: Per-chain PRNG keys, shape (n_chain,).
+        params: Per-chain adapter-controlled parameter overrides, a dict
+            ``{trans_key: {"step_size": array}}`` batched over chains.
+        adapt_states: Per-chain adapter states
+            ``{trans_key: (state, ...)}`` batched over chains.
+        trans_keys: Static tuple of transition keys (dict order).
+        adapters: Static dict-as-tuple ``((trans_key, (adapter, ...)), ...)``.
+        trace_funcs: Static tuple of trace functions or None.
+        n_iter: Static chunk length.
+    """
+    adapters_dict = dict(adapters)
+
+    def chain_fn(state, key, chain_params, chain_adapt_states):
+        def body(carry, _):
+            state, key, params, adapt_states = carry
+            all_stats = {}
+            for trans_key in trans_keys:
+                key, subkey = jax.random.split(key)
+                transition = transitions[trans_key]
+                t_params = params.get(trans_key, {})
+                if "step_size" in t_params:
+                    transition = _set_step_size(
+                        transition, t_params["step_size"],
+                    )
+                state, stats = transition.sample(state, subkey)
+                if trans_key in adapters_dict:
+                    new_adapt_states = []
+                    for i, adapter in enumerate(adapters_dict[trans_key]):
+                        a_state, t_params = adapter.update(
+                            adapt_states[trans_key][i], state, stats,
+                            t_params,
+                        )
+                        new_adapt_states.append(a_state)
+                    adapt_states = {
+                        **adapt_states,
+                        trans_key: tuple(new_adapt_states),
+                    }
+                    params = {**params, trans_key: t_params}
+                if stats is not None:
+                    all_stats[trans_key] = stats
+            if trace_funcs is not None:
+                system = None
+                for transition in transitions.values():
+                    if hasattr(transition, "system"):
+                        system = transition.system
+                        break
+                traces = {}
+                for trace_func in trace_funcs:
+                    if isinstance(trace_func, SystemTraceFunc):
+                        traces.update(trace_func(state, system))
+                    else:
+                        traces.update(trace_func(state))
+            else:
+                traces = {}
+            return (state, key, params, adapt_states), (traces, all_stats)
+
+        (state, key, params, adapt_states), (traces, stats) = jax.lax.scan(
+            body, (state, key, chain_params, chain_adapt_states), None,
+            length=n_iter,
+        )
+        return state, key, params, adapt_states, traces, stats
+
+    return jax.vmap(chain_fn)(states, keys, params, adapt_states)
+
+
+@functools.partial(jax.jit, static_argnames=("trans_keys", "adapters"))
+def _init_adapters(transitions, states, *, trans_keys, adapters):
+    """Initialize adapter states and params per chain (vmapped).
+
+    Reference: mici/samplers.py:463-469 (adapter.initialize per stage).
+    """
+    adapters_dict = dict(adapters)
+
+    def chain_fn(state):
+        adapt_states = {}
+        params = {}
+        for trans_key in trans_keys:
+            if trans_key not in adapters_dict:
+                params[trans_key] = {}
+                continue
+            t_params = {}
+            t_states = []
+            for adapter in adapters_dict[trans_key]:
+                a_state, a_params = adapter.initialize(
+                    state, transitions[trans_key],
+                )
+                t_states.append(a_state)
+                t_params.update(a_params)
+            adapt_states[trans_key] = tuple(t_states)
+            params[trans_key] = t_params
+        return adapt_states, params
+
+    return jax.vmap(chain_fn)(states)
+
+
+class MCMCSampleChainsOutputs(NamedTuple):
+    """Outputs of a MarkovChainMonteCarloMethod.sample_chains call.
+
+    Reference: mici/samplers.py:808-836.
+    """
+
+    final_states: list
+    traces: dict | None
+    statistics: dict
+
+
+class HMCSampleChainsOutputs(NamedTuple):
+    """Outputs of a HamiltonianMonteCarlo.sample_chains call.
+
+    Reference: mici/samplers.py:1151-1177.
+    """
+
+    final_states: list
+    traces: dict | None
+    statistics: dict
+
+
+def _open_new_memmap(file_path, shape, default_value, dtype):
+    """Open a new memory-mapped array, fill with value and return.
+
+    Reference: mici/samplers.py:116-138.
+    """
+    if isinstance(shape, int):
+        shape = (shape,)
+    memmap = np.lib.format.open_memmap(
+        file_path, dtype=dtype, mode="w+", shape=shape,
+    )
+    memmap[...] = default_value
+    return memmap
+
+
+class MarkovChainMonteCarloMethod:
+    """Generic Markov chain Monte Carlo (MCMC) sampler.
+
+    Generates Markov chains from initial states by iteratively applying a
+    sequence of Markov transition operators, with all chains executing as a
+    single compiled, vectorized program per sampling stage.
+
+    Reference: mici/samplers.py:838-1148.
+    """
+
+    def __init__(self, rng, transitions):
+        """
+        Args:
+            rng: JAX PRNG key, integer seed, or numpy Generator (used to
+                derive a key).
+            transitions: Ordered dict of Markov transition kernels to
+                sequentially sample from on each chain iteration.
+        """
+        self._rng = _as_key(rng)
+        self._transitions = dict(transitions)
+
+    @property
+    def transitions(self):
+        return self._transitions
+
+    @property
+    def rng(self):
+        return self._rng
+
+    def _next_key(self):
+        self._rng, key = jax.random.split(self._rng)
+        return key
+
+    def sample_chains(self, n_warm_up_iter, n_main_iter, init_states, *,
+                      trace_funcs=None, adapters=None, stager=None,
+                      trace_warm_up=False, force_memmap=False,
+                      memmap_path=None, monitor_stats=None,
+                      display_progress=True, progress_bar_class=None,
+                      chunk_size=None, mesh=None, n_worker=1, n_process=None,
+                      use_thread_pool=False, max_threads_per_worker=None):
+        """Sample Markov chains with optional adaptive warm up.
+
+        Mirrors mici/samplers.py:875-1148.  ``n_worker`` / ``n_process`` /
+        ``use_thread_pool`` / ``max_threads_per_worker`` are accepted for
+        API parity but have no effect: chains are always executed as one
+        vectorized device program (use :mod:`mici_tpu.parallel` utilities to
+        shard the chain axis over a multi-chip mesh).
+
+        Args:
+            n_warm_up_iter: Number of adaptive warm up iterations per chain.
+            n_main_iter: Number of main sampling iterations per chain.
+            init_states: Iterable of initial chain states (ChainState or
+                position arrays).
+            trace_funcs: Sequence of jax-traceable functions of the state
+                returning dicts of arrays to record each iteration.
+            adapters: Dict of lists of adapters keyed by transition key.
+            stager: Stager controlling warm-up stage splits.
+            trace_warm_up: Whether to record traces/stats during warm up.
+            force_memmap: Store traces/stats in numpy memmap files.
+            memmap_path: Directory for memmap files.
+            monitor_stats: Dict of lists of statistic keys (keyed by
+                transition key) to monitor on the progress bar.
+            display_progress: Whether to display progress bars.
+            progress_bar_class: Class for per-stage progress bar.
+            chunk_size: Number of iterations per compiled chunk; bounds
+                device memory for traces.  None runs each stage as a single
+                chunk.
+
+        Returns:
+            MCMCSampleChainsOutputs(final_states, traces, statistics).
+        """
+        if not display_progress:
+            progress_bar_class = DummyProgressBar
+            stage_bar_class = DummyProgressBar
+        else:
+            stage_bar_class = LabelledSequenceProgressBar
+            if progress_bar_class is None:
+                progress_bar_class = SequenceProgressBar
+
+        init_states = [
+            self._check_and_process_init_state(s) for s in init_states
+        ]
+        n_chain = len(init_states)
+        states = _stack_states(init_states)
+        chain_keys = jax.random.split(self._next_key(), n_chain)
+        if mesh is not None:
+            from mici_tpu import parallel
+
+            states = parallel.shard_chain_axis(states, mesh)
+            chain_keys = parallel.shard_chain_axis(chain_keys, mesh)
+
+        n_trace_iter = (n_warm_up_iter + n_main_iter if trace_warm_up
+                        else n_main_iter)
+        use_memmap = force_memmap
+        memmap_dir = None
+        if use_memmap:
+            if memmap_path is None:
+                import tempfile
+
+                memmap_dir = tempfile.mkdtemp()
+                memmap_path = memmap_dir
+            Path(memmap_path).mkdir(parents=True, exist_ok=True)
+
+        trace_funcs = (tuple(trace_funcs)
+                       if trace_funcs is not None else None)
+
+        # Allocate host buffers for traces and statistics.
+        traces = None
+        if trace_funcs and n_trace_iter > 0:
+            example = {}
+            example_system = self._get_system()
+            for trace_func in trace_funcs:
+                if isinstance(trace_func, SystemTraceFunc):
+                    example.update(
+                        trace_func(init_states[0], example_system),
+                    )
+                else:
+                    example.update(trace_func(init_states[0]))
+            traces = {}
+            for key, val in example.items():
+                val = np.asarray(val)
+                init = (np.nan if np.issubdtype(val.dtype, np.inexact)
+                        else 0)
+                shape = (n_chain, n_trace_iter, *val.shape)
+                if use_memmap:
+                    traces[key] = _open_new_memmap(
+                        Path(memmap_path) / f"trace_{key}.npy",
+                        shape, init, val.dtype,
+                    )
+                else:
+                    traces[key] = np.full(shape, init, val.dtype)
+        stats = {}
+        for trans_key, transition in self.transitions.items():
+            if transition.statistic_types is not None:
+                stats[trans_key] = {}
+                for key, (dtype, val) in transition.statistic_types.items():
+                    try:
+                        np_dtype = np.dtype(dtype)
+                    except TypeError:
+                        np_dtype = np.float64
+                    shape = (n_chain, n_trace_iter)
+                    if use_memmap:
+                        stats[trans_key][key] = _open_new_memmap(
+                            Path(memmap_path) / f"stats_{trans_key}_{key}.npy",
+                            shape, val, np_dtype,
+                        )
+                    else:
+                        stats[trans_key][key] = np.full(shape, val, np_dtype)
+
+        if stager is None:
+            if adapters is None or all(
+                a.is_fast for a_list in adapters.values() for a in a_list
+            ):
+                stager = WarmUpStager()
+            else:
+                stager = WindowedWarmUpStager()
+        sampling_stages = stager.stages(
+            n_warm_up_iter, n_main_iter, adapters, trace_funcs,
+            trace_warm_up=trace_warm_up,
+        )
+
+        trans_keys = tuple(self.transitions)
+        transitions = dict(self.transitions)
+        sampling_index_offset = 0
+        interrupted = False
+
+        with stage_bar_class(
+            sampling_stages, "Sampling stage", position=(0, 2),
+        ) as stage_pb:
+            for stage_index, (label, stage) in enumerate(
+                sampling_stages.items(),
+            ):
+                stage_adapters = tuple(
+                    (k, tuple(v)) for k, v in (stage.adapters or {}).items()
+                    if v
+                )
+                if stage_adapters:
+                    adapt_states, params = _init_adapters(
+                        transitions, states, trans_keys=trans_keys,
+                        adapters=stage_adapters,
+                    )
+                    self._check_adapter_init(params)
+                else:
+                    adapt_states = {}
+                    params = {k: {} for k in trans_keys}
+
+                stage_trace_funcs = stage.trace_funcs
+                record = stage.record_stats or stage_trace_funcs is not None
+
+                n_remaining = stage.n_iter
+                chunk = (stage.n_iter if chunk_size is None
+                         else min(chunk_size, stage.n_iter))
+                offset_in_stage = 0
+                pb = progress_bar_class(
+                    range(stage.n_iter), description=label, position=(1, 2),
+                )
+                with pb:
+                    try:
+                        while n_remaining > 0:
+                            this_chunk = min(chunk, n_remaining)
+                            (states, chain_keys, params, adapt_states,
+                             chunk_traces, chunk_stats) = _run_stage_chunk(
+                                transitions, states, chain_keys, params,
+                                adapt_states, trans_keys=trans_keys,
+                                adapters=stage_adapters,
+                                trace_funcs=stage_trace_funcs,
+                                n_iter=this_chunk,
+                            )
+                            # Stream chunk results to host buffers.
+                            row = slice(
+                                sampling_index_offset + offset_in_stage,
+                                sampling_index_offset + offset_in_stage
+                                + this_chunk,
+                            )
+                            if stage_trace_funcs is not None and traces:
+                                host_traces = jax.device_get(chunk_traces)
+                                for key, arr in host_traces.items():
+                                    traces[key][:, row] = arr
+                            if stage.record_stats and stats:
+                                host_stats = jax.device_get(chunk_stats)
+                                for t_key, t_stats in host_stats.items():
+                                    for key, arr in t_stats.items():
+                                        stats[t_key][key][:, row] = (
+                                            arr.astype(
+                                                stats[t_key][key].dtype,
+                                            )
+                                        )
+                            offset_in_stage += this_chunk
+                            n_remaining -= this_chunk
+                            postfix = self._monitor_postfix(
+                                monitor_stats, chunk_stats,
+                            )
+                            pb.update(
+                                offset_in_stage,
+                                postfix,
+                            )
+                    except KeyboardInterrupt:
+                        interrupted = True
+
+                if stage_adapters and not interrupted:
+                    transitions, states = self._finalize_adapters(
+                        transitions, states, adapt_states, stage_adapters,
+                    )
+                if record:
+                    sampling_index_offset += offset_in_stage
+                stage_pb.update(stage_index + 1)
+                if interrupted:
+                    break
+
+        self._transitions = transitions
+        final_states = _unstack_states(jax.device_get(states), n_chain)
+        return MCMCSampleChainsOutputs(final_states, traces, stats)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _check_and_process_init_state(self, state):
+        """Check initial chain state and convert to ChainState.
+
+        Reference: mici/samplers.py:_check_and_process_init_state.
+        """
+        if isinstance(state, dict):
+            state = ChainState(**state)
+        elif not isinstance(state, ChainState):
+            state = ChainState(pos=jnp.asarray(state), mom=None, dir=1)
+        system = self._get_system()
+        if system is not None:
+            state = system.prepare_state(state)
+        return state
+
+    def _get_system(self):
+        for transition in self.transitions.values():
+            if hasattr(transition, "system"):
+                return transition.system
+        return None
+
+    def _check_adapter_init(self, params):
+        for t_params in params.values():
+            if "step_size" in t_params:
+                step = np.asarray(t_params["step_size"])
+                if np.any(np.isnan(step)):
+                    msg = (
+                        "Could not find reasonable initial step size in "
+                        "maximum number of iterations (or Hamiltonian "
+                        "evaluated to NaN at an initial state)."
+                    )
+                    raise AdaptationError(msg)
+
+    def _finalize_adapters(self, transitions, states, adapt_states,
+                           stage_adapters):
+        """Cross-chain adapter finalization between stages.
+
+        Reference: mici/samplers.py:651-665, mici/adapters.py:375-389,
+        :473-514.
+        """
+        for trans_key, adapter_list in stage_adapters:
+            for i, adapter in enumerate(adapter_list):
+                transition, states = adapter.finalize(
+                    adapt_states[trans_key][i], states,
+                    transitions[trans_key], self._next_key(),
+                )
+                transitions = dict(transitions)
+                transitions[trans_key] = transition
+                if hasattr(transition, "system"):
+                    transitions = _propagate_system(
+                        transitions, transition.system,
+                    )
+        return transitions, states
+
+    def _monitor_postfix(self, monitor_stats, chunk_stats):
+        if monitor_stats is None:
+            return None
+        postfix = {}
+        for trans_key, keys in monitor_stats.items():
+            if trans_key not in chunk_stats:
+                continue
+            host = jax.device_get(
+                {k: chunk_stats[trans_key][k] for k in keys
+                 if k in chunk_stats[trans_key]},
+            )
+            for k, arr in host.items():
+                postfix[f"mean({k})"] = float(np.nanmean(arr))
+        return postfix
+
+
+class HamiltonianMonteCarlo(MarkovChainMonteCarloMethod):
+    """Wrapper class for Hamiltonian Monte Carlo (HMC) methods.
+
+    Combines a momentum transition and an integration transition.
+    Reference: mici/samplers.py:1180-1431.
+    """
+
+    def __init__(self, system, rng, integration_transition,
+                 momentum_transition=None):
+        self.system = system
+        if momentum_transition is None:
+            momentum_transition = IndependentMomentumTransition(system)
+        super().__init__(rng, {
+            "momentum_transition": momentum_transition,
+            "integration_transition": integration_transition,
+        })
+
+    @property
+    def integrator(self):
+        return self.transitions["integration_transition"].integrator
+
+    def _preprocess_init_state(self, init_state):
+        """Make sure initial state is a ChainState with momentum sampled.
+
+        Reference: mici/samplers.py:1248-1261.
+        """
+        if not isinstance(init_state, ChainState):
+            init_state = ChainState(
+                pos=jnp.asarray(init_state), mom=None, dir=1,
+            )
+        init_state = self.system.prepare_state(init_state)
+        if init_state.mom is None:
+            init_state = init_state.replace(
+                mom=self.system.sample_momentum(
+                    init_state, self._next_key(),
+                ),
+            )
+        return init_state
+
+    # Default traced variables: position and Hamiltonian, with the system
+    # routed through the traced argument path so the adapter-tuned metric
+    # is used (reference: mici/samplers.py:1263-1269).
+    _default_trace_func = default_hamiltonian_trace_func
+
+    def sample_chains(self, n_warm_up_iter, n_main_iter, init_states,
+                      **kwargs):
+        """Sample chains with adaptive warm up (defaults per reference).
+
+        Reference: mici/samplers.py:1271-1431 (defaults at :1404-1423).
+        """
+        init_states = [
+            self._preprocess_init_state(i) for i in init_states
+        ]
+        if "adapters" not in kwargs:
+            kwargs["adapters"] = [DualAveragingStepSizeAdapter()]
+        if "trace_funcs" not in kwargs:
+            kwargs["trace_funcs"] = [self._default_trace_func]
+        if "monitor_stats" in kwargs:
+            if kwargs["monitor_stats"] is not None:
+                kwargs["monitor_stats"] = {
+                    "integration_transition": kwargs["monitor_stats"],
+                }
+        else:
+            kwargs["monitor_stats"] = {
+                "integration_transition": ["accept_stat"],
+            }
+        if kwargs.get("adapters") is not None:
+            kwargs["adapters"] = {
+                "integration_transition": kwargs["adapters"],
+            }
+        final_states, traces, stats = super().sample_chains(
+            n_warm_up_iter, n_main_iter, init_states, **kwargs,
+        )
+        stats = stats.get("integration_transition", {})
+        # Refresh the system reference to the adapter-tuned version.
+        self.system = self.transitions["integration_transition"].system
+        return HMCSampleChainsOutputs(final_states, traces, stats)
+
+
+class StaticMetropolisHMC(HamiltonianMonteCarlo):
+    """Static integration time HMC with Metropolis sampling.
+
+    Reference: mici/samplers.py:1434-1498.
+    """
+
+    def __init__(self, system, integrator, rng, n_step,
+                 momentum_transition=None):
+        integration_transition = MetropolisStaticIntegrationTransition(
+            system, integrator, n_step,
+        )
+        super().__init__(system, rng, integration_transition,
+                         momentum_transition)
+
+    @property
+    def n_step(self):
+        return self.transitions["integration_transition"].n_step
+
+
+class RandomMetropolisHMC(HamiltonianMonteCarlo):
+    """Random integration time HMC with Metropolis sampling.
+
+    Reference: mici/samplers.py:1501-1572.
+    """
+
+    def __init__(self, system, integrator, rng, n_step_range,
+                 momentum_transition=None):
+        integration_transition = MetropolisRandomIntegrationTransition(
+            system, integrator, n_step_range,
+        )
+        super().__init__(system, rng, integration_transition,
+                         momentum_transition)
+
+    @property
+    def n_step_range(self):
+        return self.transitions["integration_transition"].n_step_range
+
+
+class DynamicMultinomialHMC(HamiltonianMonteCarlo):
+    """Dynamic (NUTS) HMC with multinomial proposal sampling.
+
+    Reference: mici/samplers.py:1575-1683.
+    """
+
+    def __init__(self, system, integrator, rng, *, max_tree_depth=10,
+                 max_delta_h=1000.0,
+                 termination_criterion=riemannian_no_u_turn_criterion,
+                 do_extra_subtree_checks=True, momentum_transition=None):
+        integration_transition = MultinomialDynamicIntegrationTransition(
+            system, integrator, max_tree_depth=max_tree_depth,
+            max_delta_h=max_delta_h,
+            termination_criterion=termination_criterion,
+            do_extra_subtree_checks=do_extra_subtree_checks,
+        )
+        super().__init__(system, rng, integration_transition,
+                         momentum_transition)
+
+    @property
+    def max_tree_depth(self):
+        return self.transitions["integration_transition"].max_tree_depth
+
+    @property
+    def max_delta_h(self):
+        return self.transitions["integration_transition"].max_delta_h
+
+
+class DynamicSliceHMC(HamiltonianMonteCarlo):
+    """Dynamic (NUTS) HMC with slice proposal sampling.
+
+    Reference: mici/samplers.py:1686-1791.
+    """
+
+    def __init__(self, system, integrator, rng, *, max_tree_depth=10,
+                 max_delta_h=1000.0,
+                 termination_criterion=euclidean_no_u_turn_criterion,
+                 do_extra_subtree_checks=False, momentum_transition=None):
+        integration_transition = SliceDynamicIntegrationTransition(
+            system, integrator, max_tree_depth=max_tree_depth,
+            max_delta_h=max_delta_h,
+            termination_criterion=termination_criterion,
+            do_extra_subtree_checks=do_extra_subtree_checks,
+        )
+        super().__init__(system, rng, integration_transition,
+                         momentum_transition)
+
+    @property
+    def max_tree_depth(self):
+        return self.transitions["integration_transition"].max_tree_depth
+
+    @property
+    def max_delta_h(self):
+        return self.transitions["integration_transition"].max_delta_h

@@ -1,0 +1,275 @@
+"""Tests for sampler chain drivers.
+
+Mirrors reference test strategy (mici tests/test_samplers.py:133-459):
+sample_chains crossed over (warm-up/main iters) x (adapters/stager)
+combinations, with shape/dtype/NaN postconditions on traces and stats,
+memmap storage, resumability, and — in place of the reference's
+multiprocess grid — a chain-axis-sharded run over the virtual 8-device CPU
+mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mici_tpu import (
+    adapters,
+    integrators,
+    parallel,
+    samplers,
+    stagers,
+    systems,
+)
+from mici_tpu.states import ChainState
+
+SEED = 1234
+DIM = 3
+N_CHAIN = 4
+
+
+def _make_system():
+    rng = np.random.default_rng(SEED)
+    a = rng.standard_normal((DIM, DIM))
+    cov = a @ a.T + DIM * np.eye(DIM)
+    prec = np.linalg.inv(cov)
+
+    def nld(q):
+        return 0.5 * q @ (jnp.asarray(prec) @ q)
+
+    return systems.EuclideanMetricSystem(nld), cov
+
+
+def _init_states(n=N_CHAIN):
+    rng = np.random.default_rng(SEED + 1)
+    return [rng.standard_normal(DIM) for _ in range(n)]
+
+
+SAMPLER_MAKERS = {
+    "static": lambda system, integ, rng: samplers.StaticMetropolisHMC(
+        system, integ, rng, n_step=8),
+    "random": lambda system, integ, rng: samplers.RandomMetropolisHMC(
+        system, integ, rng, n_step_range=(2, 10)),
+    "dynamic_multinomial": lambda system, integ, rng: (
+        samplers.DynamicMultinomialHMC(system, integ, rng,
+                                       max_tree_depth=6)),
+    "dynamic_slice": lambda system, integ, rng: samplers.DynamicSliceHMC(
+        system, integ, rng, max_tree_depth=6),
+}
+
+ADAPTER_SETTINGS = {
+    "step_only": lambda: [adapters.DualAveragingStepSizeAdapter()],
+    "step_and_variance": lambda: [
+        adapters.DualAveragingStepSizeAdapter(),
+        adapters.OnlineVarianceMetricAdapter(),
+    ],
+    "step_and_covariance": lambda: [
+        adapters.DualAveragingStepSizeAdapter(),
+        adapters.OnlineCovarianceMetricAdapter(),
+    ],
+}
+
+
+@pytest.mark.parametrize("sampler_name", list(SAMPLER_MAKERS))
+@pytest.mark.parametrize("adapter_name", list(ADAPTER_SETTINGS))
+def test_sample_chains(sampler_name, adapter_name):
+    system, cov = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = SAMPLER_MAKERS[sampler_name](system, integ, SEED)
+    n_warm, n_main = 100, 100
+    out = sampler.sample_chains(
+        n_warm, n_main, _init_states(),
+        adapters=ADAPTER_SETTINGS[adapter_name](),
+        display_progress=False,
+    )
+    assert len(out.final_states) == N_CHAIN
+    for state in out.final_states:
+        assert state.pos.shape == (DIM,)
+        assert np.all(np.isfinite(np.asarray(state.pos)))
+    assert out.traces["pos"].shape == (N_CHAIN, n_main, DIM)
+    assert out.traces["hamiltonian"].shape == (N_CHAIN, n_main)
+    assert not np.any(np.isnan(out.traces["pos"]))
+    assert not np.any(np.isnan(out.traces["hamiltonian"]))
+    for key, (dtype, _) in sampler.transitions[
+        "integration_transition"
+    ].statistic_types.items():
+        assert key in out.statistics
+        assert out.statistics[key].shape == (N_CHAIN, n_main)
+    acc = out.statistics["accept_stat"]
+    assert np.nanmean(acc) > 0.4
+    # step size was adapted to a positive finite value
+    step = float(sampler.integrator.step_size)
+    assert np.isfinite(step) and step > 0
+
+
+def test_windowed_stager_used_for_slow_adapters():
+    system, cov = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out = sampler.sample_chains(
+        150, 50, _init_states(),
+        adapters=[
+            adapters.DualAveragingStepSizeAdapter(),
+            adapters.OnlineVarianceMetricAdapter(),
+        ],
+        stager=stagers.WindowedWarmUpStager(),
+        display_progress=False,
+    )
+    # metric should have been adapted away from identity
+    metric = sampler.system.metric
+    diag = np.asarray(metric.diagonal)
+    assert not np.allclose(diag, diag[0] * np.ones(DIM))
+    assert out.traces["pos"].shape == (N_CHAIN, 50, DIM)
+
+
+def test_trace_warm_up():
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    n_warm, n_main = 40, 30
+    out = sampler.sample_chains(
+        n_warm, n_main, _init_states(), trace_warm_up=True,
+        display_progress=False,
+    )
+    assert out.traces["pos"].shape == (N_CHAIN, n_warm + n_main, DIM)
+    assert not np.any(np.isnan(out.traces["pos"]))
+    assert out.statistics["accept_stat"].shape == (N_CHAIN, n_warm + n_main)
+
+
+def test_memmap_storage(tmp_path):
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out = sampler.sample_chains(
+        20, 30, _init_states(), force_memmap=True,
+        memmap_path=str(tmp_path), display_progress=False,
+    )
+    assert isinstance(out.traces["pos"], np.memmap)
+    assert (tmp_path / "trace_pos.npy").exists()
+    assert not np.any(np.isnan(np.asarray(out.traces["pos"])))
+
+
+def test_chunked_execution_matches_unchunked():
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_a = sampler_a.sample_chains(
+        30, 60, _init_states(), display_progress=False,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_b = sampler_b.sample_chains(
+        30, 60, _init_states(), chunk_size=17, display_progress=False,
+    )
+    np.testing.assert_allclose(
+        out_a.traces["pos"], out_b.traces["pos"], atol=1e-10,
+    )
+
+
+def test_resume_from_final_states():
+    """final_states can seed a new sample_chains call.
+
+    Reference: mici/samplers.py:808-815 (resumability by value).
+    """
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system, 0.5)
+    sampler = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out1 = sampler.sample_chains(
+        10, 20, _init_states(), display_progress=False,
+    )
+    out2 = sampler.sample_chains(
+        0, 20, out1.final_states, adapters=None, display_progress=False,
+    )
+    assert out2.traces["pos"].shape == (N_CHAIN, 20, DIM)
+    assert not np.any(np.isnan(out2.traces["pos"]))
+
+
+def test_sharded_chains_match_unsharded():
+    """Chain-axis sharding over the 8-device CPU mesh gives identical
+    results to unsharded execution (the TPU-native replacement for the
+    reference's multiprocess pool grid)."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    n_chain = 8
+    mesh = parallel.make_chain_mesh()
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_a = sampler_a.sample_chains(
+        20, 40, _init_states(n_chain), display_progress=False,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_b = sampler_b.sample_chains(
+        20, 40, _init_states(n_chain), mesh=mesh, display_progress=False,
+    )
+    np.testing.assert_allclose(
+        out_a.traces["pos"], out_b.traces["pos"], atol=1e-8,
+    )
+
+
+def test_adaptation_error_on_bad_target():
+    """NaN Hamiltonian at init surfaces as AdaptationError."""
+
+    def bad_nld(q):
+        return jnp.nan * jnp.sum(q)
+
+    system = systems.EuclideanMetricSystem(bad_nld)
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    from mici_tpu.errors import AdaptationError
+
+    with pytest.raises(AdaptationError):
+        sampler.sample_chains(
+            10, 10, _init_states(), display_progress=False,
+        )
+
+
+def test_custom_trace_funcs():
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = samplers.DynamicMultinomialHMC(system, integ, SEED)
+
+    def trace_func(state):
+        return {"pos_sq_sum": jnp.sum(state.pos**2)}
+
+    out = sampler.sample_chains(
+        10, 20, _init_states(), trace_funcs=[trace_func],
+        display_progress=False,
+    )
+    assert out.traces["pos_sq_sum"].shape == (N_CHAIN, 20)
+    assert "pos" not in out.traces
+
+
+def test_generic_mcmc_method():
+    """MarkovChainMonteCarloMethod with explicit transitions dict."""
+    from mici_tpu import transitions as trans_mod
+
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system, 0.5)
+    method = samplers.MarkovChainMonteCarloMethod(SEED, {
+        "momentum_transition":
+            trans_mod.IndependentMomentumTransition(system),
+        "integration_transition":
+            trans_mod.MetropolisStaticIntegrationTransition(
+                system, integ, 5),
+    })
+    init_states = [
+        ChainState(pos=np.zeros(DIM), mom=np.ones(DIM), dir=1)
+        for _ in range(2)
+    ]
+    out = method.sample_chains(
+        0, 25, init_states,
+        trace_funcs=[lambda state: {"pos": state.pos}],
+        display_progress=False,
+    )
+    assert out.traces["pos"].shape == (2, 25, DIM)
+    assert "integration_transition" in out.statistics
+    assert "accept_stat" in out.statistics["integration_transition"]
+
+
+def test_progress_bar_display(capsys):
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out = sampler.sample_chains(
+        5, 10, _init_states(2), display_progress=True, chunk_size=5,
+    )
+    captured = capsys.readouterr()
+    assert "%" in captured.err or "Sampling stage" in captured.err
