@@ -1,0 +1,154 @@
+"""Tests for adapters.
+
+Mirrors reference test strategy (mici tests/test_adapters.py): statistical
+test that dual averaging realizes the target accept statistic, and Welford
+estimates checked against np.var / np.cov oracles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mici_tpu import adapters, integrators, samplers, systems
+
+SEED = 16081
+DIM = 3
+
+
+def _setup():
+    def nld(q):
+        return 0.5 * jnp.sum(q**2)
+
+    system = systems.EuclideanMetricSystem(nld)
+    integ = integrators.LeapfrogIntegrator(system)
+    return system, integ
+
+
+@pytest.mark.parametrize("target", [0.6, 0.8, 0.9])
+def test_dual_averaging_realizes_target(target):
+    """After adaptation the realized accept stat is close to target.
+
+    Reference: mici tests/test_adapters.py:102-129 (500 adaptation steps,
+    within 0.05 of target).
+    """
+    system, integ = _setup()
+    sampler = samplers.StaticMetropolisHMC(system, integ, SEED, n_step=5)
+    rng = np.random.default_rng(SEED)
+    out = sampler.sample_chains(
+        500, 0, [rng.standard_normal(DIM) for _ in range(2)],
+        adapters=[adapters.DualAveragingStepSizeAdapter(target)],
+        trace_warm_up=True, display_progress=False,
+    )
+    # average over the adaptive iterations, discarding the transient
+    realized = float(np.nanmean(out.statistics["accept_stat"][:, 100:]))
+    assert abs(realized - target) < 0.06
+
+
+def test_welford_variance_oracle():
+    """Online variance estimate matches np.var over update sequence.
+
+    Reference: mici tests/test_adapters.py:190-297.
+    """
+    system, integ = _setup()
+    from mici_tpu.states import ChainState
+    from mici_tpu.transitions import (
+        MultinomialDynamicIntegrationTransition,
+    )
+
+    trans = MultinomialDynamicIntegrationTransition(system, integ)
+    adapter = adapters.OnlineVarianceMetricAdapter(reg_iter_offset=0)
+    rng = np.random.default_rng(SEED)
+    positions = rng.standard_normal((60, DIM))
+    state = system.prepare_state(
+        ChainState(pos=positions[0], mom=np.zeros(DIM), dir=1))
+    a_state, params = adapter.initialize(state, trans)
+    for pos in positions:
+        a_state, params = adapter.update(
+            a_state, state.replace(pos=jnp.asarray(pos)), {}, params)
+    var_est = np.asarray(a_state["sum_diff_sq"]) / (len(positions) - 1)
+    np.testing.assert_allclose(
+        var_est, np.var(positions, axis=0, ddof=1), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(a_state["mean"]), positions.mean(0), rtol=1e-10)
+
+
+def test_welford_covariance_oracle():
+    system, integ = _setup()
+    from mici_tpu.states import ChainState
+    from mici_tpu.transitions import (
+        MultinomialDynamicIntegrationTransition,
+    )
+
+    trans = MultinomialDynamicIntegrationTransition(system, integ)
+    adapter = adapters.OnlineCovarianceMetricAdapter()
+    rng = np.random.default_rng(SEED)
+    positions = rng.standard_normal((60, DIM))
+    state = system.prepare_state(
+        ChainState(pos=positions[0], mom=np.zeros(DIM), dir=1))
+    a_state, params = adapter.initialize(state, trans)
+    for pos in positions:
+        a_state, params = adapter.update(
+            a_state, state.replace(pos=jnp.asarray(pos)), {}, params)
+    cov_est = np.asarray(a_state["sum_diff_outer"]) / (len(positions) - 1)
+    np.testing.assert_allclose(
+        cov_est, np.cov(positions.T, ddof=1), rtol=1e-9, atol=1e-12)
+
+
+def test_cross_chain_combination_matches_pooled():
+    """Chan et al. combination over chains equals pooled statistics."""
+    system, integ = _setup()
+    adapter = adapters.OnlineVarianceMetricAdapter(reg_iter_offset=0)
+    rng = np.random.default_rng(SEED)
+    n_chain, n_iter = 4, 30
+    positions = rng.standard_normal((n_chain, n_iter, DIM))
+    batched = {
+        "iter": jnp.full((n_chain,), n_iter, jnp.int32),
+        "mean": jnp.asarray(positions.mean(axis=1)),
+        "sum_diff_sq": jnp.asarray(
+            ((positions - positions.mean(axis=1, keepdims=True)) ** 2
+             ).sum(axis=1)),
+    }
+    n_total, var_sum = adapter._combine(batched)
+    pooled = positions.reshape(-1, DIM)
+    np.testing.assert_allclose(float(n_total), n_chain * n_iter)
+    np.testing.assert_allclose(
+        np.asarray(var_sum) / (n_chain * n_iter - 1),
+        np.var(pooled, axis=0, ddof=1), rtol=1e-9)
+
+
+def test_step_size_reducers():
+    logs = jnp.log(jnp.asarray([0.1, 0.2, 0.4]))
+    np.testing.assert_allclose(
+        adapters.arithmetic_mean_log_step_size_reducer(logs),
+        np.mean([0.1, 0.2, 0.4]), rtol=1e-10)
+    np.testing.assert_allclose(
+        adapters.geometric_mean_log_step_size_reducer(logs),
+        np.exp(np.mean(np.log([0.1, 0.2, 0.4]))), rtol=1e-10)
+    np.testing.assert_allclose(
+        adapters.min_log_step_size_reducer(logs), 0.1, rtol=1e-10)
+
+
+def test_init_step_size_search_jit_vmap():
+    """Init search runs under jit+vmap with per-chain results."""
+    system, integ = _setup()
+    from mici_tpu.states import ChainState
+    from mici_tpu.transitions import (
+        MultinomialDynamicIntegrationTransition,
+    )
+
+    trans = MultinomialDynamicIntegrationTransition(system, integ)
+    adapter = adapters.DualAveragingStepSizeAdapter()
+    rng = np.random.default_rng(SEED)
+    positions = jnp.asarray(rng.standard_normal((4, DIM)))
+    momenta = jnp.asarray(rng.standard_normal((4, DIM)))
+
+    @jax.jit
+    def init(pos, mom):
+        state = system.prepare_state(ChainState(pos=pos, mom=mom, dir=1))
+        _, params = adapter.initialize(state, trans)
+        return params["step_size"]
+
+    steps = jax.vmap(init)(positions, momenta)
+    assert np.all(np.isfinite(np.asarray(steps)))
+    assert np.all(np.asarray(steps) > 0)

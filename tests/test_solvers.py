@@ -1,0 +1,115 @@
+"""Tests for masked iterative solvers.
+
+Mirrors reference test strategy (mici tests/test_solvers.py): parameterized
+convergent and divergent fixed-point problems; divergence produces error
+flags (rather than the reference's ConvergenceError exceptions) and never
+stalls a vmapped batch.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mici_tpu import solvers
+
+CONVERGENT = {
+    # babylonian square root of 2: x -> (x + 2/x)/2
+    "babylonian": (lambda x: 0.5 * (x + 2.0 / x), np.full(3, 1.0),
+                   np.full(3, np.sqrt(2.0))),
+    "cosine": (lambda x: jnp.cos(x), np.full(3, 0.5),
+               np.full(3, 0.7390851332151607)),
+    "ratio": (lambda x: (x + 3.0) / (x + 1.0), np.full(3, 1.0),
+              np.full(3, np.sqrt(3.0))),
+}
+
+DIVERGENT = {
+    "doubling": lambda x: 2.0 * x + 1.0,
+    "quadratic": lambda x: x**2 + 1.0,
+}
+
+FIXED_POINT_SOLVERS = {
+    "direct": solvers.solve_fixed_point_direct,
+    "steffensen": solvers.solve_fixed_point_steffensen,
+}
+
+
+@pytest.mark.parametrize("solver_name", list(FIXED_POINT_SOLVERS))
+@pytest.mark.parametrize("problem", list(CONVERGENT))
+@pytest.mark.parametrize("norm", [solvers.maximum_norm,
+                                  solvers.euclidean_norm])
+def test_fixed_point_convergent(solver_name, problem, norm):
+    solver = FIXED_POINT_SOLVERS[solver_name]
+    func, x0, expected = CONVERGENT[problem]
+    x, error = solver(func, jnp.asarray(x0), norm=norm)
+    assert not bool(error)
+    np.testing.assert_allclose(np.asarray(x), expected, atol=1e-8)
+
+
+@pytest.mark.parametrize("solver_name,problem", [
+    ("direct", "doubling"), ("direct", "quadratic"),
+    # Steffensen solves linear problems exactly, so only the quadratic
+    # problem is divergent for it (as in the reference parameterization).
+    ("steffensen", "quadratic"),
+])
+def test_fixed_point_divergent_flags(solver_name, problem):
+    solver = FIXED_POINT_SOLVERS[solver_name]
+    func = DIVERGENT[problem]
+    x, error = solver(func, jnp.full(3, 2.0))
+    assert bool(error)
+
+
+def test_fixed_point_max_iters_flags():
+    # slow contraction that cannot converge in 2 iterations (direct) or a
+    # nonlinear problem that needs more than 1 Steffensen iteration
+    x, error = solvers.solve_fixed_point_direct(
+        lambda x: 0.999 * x, jnp.full(3, 1.0), max_iters=2,
+    )
+    assert bool(error)
+    x, error = solvers.solve_fixed_point_steffensen(
+        lambda x: jnp.cos(x), jnp.full(3, 0.5), max_iters=1,
+    )
+    assert bool(error)
+
+
+def test_fixed_point_vmap_mixed_convergence():
+    """Divergent lanes flag without stalling convergent lanes."""
+
+    def func(x):
+        # lane-dependent behavior: scale > 1 diverges
+        return x * jnp.array([0.5, 2.0, 0.3])
+
+    def solve(x0):
+        return solvers.solve_fixed_point_direct(
+            lambda x: func(x), x0, max_iters=300,
+        )
+
+    # batched version with per-lane scaling via vmap over independent
+    # problems
+    def single(scale, x0):
+        x, err = solvers.solve_fixed_point_direct(
+            lambda x: scale * x, x0, max_iters=50,
+        )
+        return x, err
+
+    scales = jnp.array([0.5, 2.0, 0.3])
+    x0s = jnp.full((3, 2), 1.0)
+    xs, errs = jax.vmap(single)(scales, x0s)
+    assert not bool(errs[0])
+    assert bool(errs[1])
+    assert not bool(errs[2])
+    np.testing.assert_allclose(np.asarray(xs[0]), 0.0, atol=1e-8)
+
+
+def test_nan_produces_error_flag():
+    def func(x):
+        return jnp.sqrt(x - 10.0)  # NaN for x < 10
+
+    x, error = solvers.solve_fixed_point_direct(func, jnp.full(2, 1.0))
+    assert bool(error)
+
+
+def test_norms():
+    v = jnp.asarray([-3.0, 4.0])
+    np.testing.assert_allclose(solvers.maximum_norm(v), 4.0)
+    np.testing.assert_allclose(solvers.euclidean_norm(v), 5.0)
