@@ -32,6 +32,41 @@ import numpy as np
 from mici_tpu.utils import hash_array
 
 
+def _eigh_2x2(matrix):
+    """Closed-form eigendecomposition of a symmetric 2x2 matrix.
+
+    XLA's general ``eigh`` lowers to an iterative QDWH algorithm whose
+    control-flow graph is large and slow to compile when inlined at many
+    call sites inside nested ``while_loop``s (e.g. the SoftAbs metric
+    rebuilt in every fixed-point iteration of an implicit integrator).  For
+    2x2 matrices the decomposition is a handful of VPU-friendly elementwise
+    ops: a Givens rotation with angle ``theta = atan2(2b, a - c) / 2``.
+    """
+    a = matrix[0, 0]
+    b = 0.5 * (matrix[0, 1] + matrix[1, 0])
+    c = matrix[1, 1]
+    t = 0.5 * (a + c)
+    d = 0.5 * (a - c)
+    r = jnp.sqrt(d * d + b * b)
+    theta = 0.5 * jnp.arctan2(2.0 * b, a - c)
+    cs, sn = jnp.cos(theta), jnp.sin(theta)
+    eigval = jnp.stack([t - r, t + r])
+    eigvec = jnp.array([[-sn, cs], [cs, sn]])
+    return eigval, eigvec
+
+
+def symmetric_eigendecomposition(matrix):
+    """Eigendecomposition of a symmetric matrix, analytic for tiny sizes.
+
+    Dispatches (statically, on shape) to the closed-form 2x2 kernel or to
+    ``jnp.linalg.eigh``.  Returns ``(eigval, eigvec)`` with ascending
+    eigenvalues and eigenvectors as columns.
+    """
+    if matrix.ndim == 2 and matrix.shape == (2, 2):
+        return _eigh_2x2(matrix)
+    return jnp.linalg.eigh(matrix)
+
+
 def _is_scalar(value) -> bool:
     return isinstance(value, numbers.Number) or (
         hasattr(value, "ndim") and value.ndim == 0
@@ -196,8 +231,7 @@ class SymmetricMatrix(SquareMatrix):
 
     @property
     def _eigh(self):
-        eigval, eigvec = jnp.linalg.eigh(self.array)
-        return eigval, eigvec
+        return symmetric_eigendecomposition(self.array)
 
     @property
     def eigval(self):
@@ -1314,7 +1348,7 @@ class SoftAbsRegularizedPositiveDefiniteMatrix(
 
     def __init__(self, symmetric_array, softabs_coeff: float = 1.0):
         symmetric_array = jnp.asarray(symmetric_array)
-        unreg_eigval, eigvec = jnp.linalg.eigh(symmetric_array)
+        unreg_eigval, eigvec = symmetric_eigendecomposition(symmetric_array)
         self._softabs_coeff = softabs_coeff
         self._unreg_eigval = unreg_eigval
         eigval = self._softabs_of(unreg_eigval)
