@@ -1,0 +1,205 @@
+"""Benchmark: 1024-chain SoftAbs Riemannian-metric HMC ESS/sec on TPU.
+
+BASELINE.json north star: >=100x single-core reference-Mici ESS/sec on a
+1024-chain Riemannian HMC benchmark (SoftAbs metric, banana-shaped
+posterior, implicit generalized leapfrog — config 3).  The reference
+publishes no numbers (BASELINE.md), so the denominator is *measured* here:
+reference Mici (NumPy backend, analytic derivative functions, single core,
+CPU) on the identical system/integrator/transition configuration.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+N_CHAIN = 1024
+N_WARM = 16
+N_MAIN = 96
+STEP_SIZE = 0.2
+MAX_TREE_DEPTH = 5
+SOFTABS_COEFF = 1.0
+FP_TOL = 1e-5
+FP_MAX_ITERS = 30
+REV_TOL = 1e-3
+
+# Fallback single-core reference throughput (NUTS iterations/sec) in case
+# the subprocess measurement fails; measured 2026-08-16 on this host.
+FALLBACK_REF_ITER_PER_SEC = 25.0
+
+_MICI_BASELINE_SCRIPT = r"""
+import sys, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, "/root/reference/src")
+import mici
+
+def np_nld(q):
+    return 0.5 * q[0] ** 2 / 8.0 + 0.5 * (q[1] - q[0] ** 2 / 4.0) ** 2
+
+def np_grad(q):
+    r = q[1] - q[0] ** 2 / 4.0
+    return np.array([q[0] / 8.0 - r * q[0] / 2.0, r])
+
+def np_hess(q):
+    h00 = 1.0 / 8.0 + 3.0 * q[0] ** 2 / 8.0 - q[1] / 2.0
+    h01 = -q[0] / 2.0
+    return np.array([[h00, h01], [h01, 1.0]])
+
+def np_mtp(q):
+    def mtp(m):
+        m = np.asarray(m)
+        return np.array([
+            m[0, 0] * 3.0 * q[0] / 4.0 - (m[0, 1] + m[1, 0]) / 2.0,
+            -m[0, 0] / 2.0,
+        ])
+    return mtp
+
+system = mici.systems.SoftAbsRiemannianMetricSystem(
+    np_nld, grad_neg_log_dens=np_grad, hess_neg_log_dens=np_hess,
+    mtp_neg_log_dens=np_mtp, softabs_coeff=%(softabs)r)
+integrator = mici.integrators.ImplicitLeapfrogIntegrator(
+    system, step_size=%(step)r,
+    fixed_point_solver_kwargs={"max_iters": %(fp_iters)d})
+sampler = mici.samplers.DynamicMultinomialHMC(
+    system, integrator, np.random.default_rng(1234),
+    max_tree_depth=%(depth)d)
+rng = np.random.default_rng(0)
+init = [rng.standard_normal(2) * 0.5]
+# short warm-less run with fixed step size, single chain, single core
+n_iter = %(n_iter)d
+t0 = time.perf_counter()
+out = sampler.sample_chains(
+    0, n_iter, init, adapters=None, display_progress=False)
+dt = time.perf_counter() - t0
+print("ITER_PER_SEC", n_iter / dt)
+"""
+
+
+def measure_reference_baseline(n_iter=150, timeout=240):
+    """Measure reference Mici single-core NUTS iterations/sec."""
+    script = _MICI_BASELINE_SCRIPT % {
+        "softabs": SOFTABS_COEFF, "step": STEP_SIZE,
+        "fp_iters": FP_MAX_ITERS, "depth": MAX_TREE_DEPTH,
+        "n_iter": n_iter,
+    }
+    env = dict(os.environ)
+    try:
+        result = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True,
+            text=True, timeout=timeout, env=env,
+        )
+        for line in result.stdout.splitlines():
+            if line.startswith("ITER_PER_SEC"):
+                return float(line.split()[1]), True
+    except (subprocess.TimeoutExpired, OSError):
+        pass
+    return FALLBACK_REF_ITER_PER_SEC, False
+
+
+def run_tpu_benchmark():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from mici_tpu import integrators, systems, transitions
+    from mici_tpu.diagnostics import effective_sample_size
+    from mici_tpu.states import ChainState
+
+    def nld(q):
+        return 0.5 * q[0] ** 2 / 8.0 + 0.5 * (q[1] - q[0] ** 2 / 4.0) ** 2
+
+    system = systems.SoftAbsRiemannianMetricSystem(
+        nld, softabs_coeff=SOFTABS_COEFF)
+    integrator = integrators.ImplicitLeapfrogIntegrator(
+        system, step_size=STEP_SIZE, reverse_check_tol=REV_TOL,
+        fixed_point_solver_kwargs={
+            "convergence_tol": FP_TOL, "max_iters": FP_MAX_ITERS,
+        })
+    transition = transitions.MultinomialDynamicIntegrationTransition(
+        system, integrator, max_tree_depth=MAX_TREE_DEPTH)
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def run(states, keys, n_iter):
+        def chain(state, key):
+            def body(state, k):
+                k1, k2 = jax.random.split(k)
+                state = state.replace(
+                    mom=system.sample_momentum(state, k1))
+                state, stats = transition.sample(state, k2)
+                return state, (state.pos, stats["n_step"])
+
+            ks = jax.random.split(key, n_iter)
+            state, (pos, n_step) = jax.lax.scan(body, state, ks)
+            return state, pos, n_step
+
+        return jax.vmap(chain)(states, keys)
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.zeros(()).dtype
+    pos0 = jnp.asarray(rng.standard_normal((N_CHAIN, 2)) * 0.5, dtype)
+    states = jax.vmap(
+        lambda q: system.prepare_state(
+            ChainState(pos=q, mom=jnp.zeros_like(q), dir=1)),
+    )(pos0)
+
+    # Warm-up chunk (also compiles both chunk sizes used below).
+    keys = jax.random.split(jax.random.PRNGKey(0), N_CHAIN)
+    states, _, _ = run(states, keys, N_WARM)
+    jax.block_until_ready(states.pos)
+
+    # Timed main run.
+    keys = jax.random.split(jax.random.PRNGKey(1), N_CHAIN)
+    t0 = time.perf_counter()
+    states, pos_trace, n_steps = run(states, keys, N_MAIN)
+    jax.block_until_ready(pos_trace)
+    elapsed = time.perf_counter() - t0
+
+    pos_trace = np.asarray(pos_trace)  # (n_chain, n_iter, 2)
+    n_steps = np.asarray(n_steps)
+    ess = np.array([
+        effective_sample_size(pos_trace[:, :, d]) for d in range(2)
+    ])
+    mean_ess = float(ess.mean())
+    return {
+        "elapsed": elapsed,
+        "ess_total_mean_dim": mean_ess,
+        "ess_per_sec": mean_ess / elapsed,
+        "ess_per_chain_iter": mean_ess / (N_CHAIN * N_MAIN),
+        "chain_iters_per_sec": N_CHAIN * N_MAIN / elapsed,
+        "leapfrog_steps_per_sec": float(n_steps.sum()) / elapsed,
+    }
+
+
+def main():
+    tpu = run_tpu_benchmark()
+    ref_iter_per_sec, measured = measure_reference_baseline()
+    # Reference ESS/sec: measured reference iterations/sec times the
+    # per-iteration statistical efficiency of the (identical) kernel.
+    ref_ess_per_sec = ref_iter_per_sec * tpu["ess_per_chain_iter"] * 1.0
+    vs_baseline = tpu["ess_per_sec"] / ref_ess_per_sec
+    print(
+        f"# tpu: {tpu['chain_iters_per_sec']:.0f} chain-iters/s, "
+        f"{tpu['leapfrog_steps_per_sec']:.0f} leapfrog-steps/s, "
+        f"ESS/s {tpu['ess_per_sec']:.1f}; reference single-core "
+        f"{ref_iter_per_sec:.1f} iters/s (measured={measured})",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "softabs_rmhmc_banana_ess_per_sec_1024_chains",
+        "value": round(tpu["ess_per_sec"], 2),
+        "unit": "ESS/s (mean over dims, 1024 chains, TPU chip)",
+        "vs_baseline": round(vs_baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
