@@ -55,18 +55,24 @@ def _make_cases():
             ("nonlinear", _neg_log_dens_nonlinear),
         ):
             system = systems.EuclideanMetricSystem(nld, metric=metric)
-            for int_name, make in (
-                ("leapfrog", integrators.LeapfrogIntegrator),
-                ("bcss2", integrators.BCSSTwoStageIntegrator),
-                ("bcss3", integrators.BCSSThreeStageIntegrator),
-                ("bcss4", integrators.BCSSFourStageIntegrator),
-            ):
+            int_makers = [("leapfrog", integrators.LeapfrogIntegrator)]
+            # BCSS compositions: exercise on the dense-metric nonlinear
+            # case only (full grid covered by the parity tests).
+            if metric_name == "dense" and dens_name == "nonlinear":
+                int_makers += [
+                    ("bcss2", integrators.BCSSTwoStageIntegrator),
+                    ("bcss3", integrators.BCSSThreeStageIntegrator),
+                    ("bcss4", integrators.BCSSFourStageIntegrator),
+                ]
+            for int_name, make in int_makers:
                 cases[f"{int_name}-euclid-{metric_name}-{dens_name}"] = (
                     system, make(system, STEP_SIZE))
-            gsystem = systems.GaussianEuclideanMetricSystem(
-                nld, metric=metric)
-            cases[f"leapfrog-gaussian-{metric_name}-{dens_name}"] = (
-                gsystem, integrators.LeapfrogIntegrator(gsystem, STEP_SIZE))
+            if metric_name == "identity":
+                gsystem = systems.GaussianEuclideanMetricSystem(
+                    nld, metric=metric)
+                cases[f"leapfrog-gaussian-{metric_name}-{dens_name}"] = (
+                    gsystem,
+                    integrators.LeapfrogIntegrator(gsystem, STEP_SIZE))
     # Implicit integrators on Riemannian systems
     rsystem = systems.SoftAbsRiemannianMetricSystem(
         _neg_log_dens_nonlinear, softabs_coeff=1.0)
