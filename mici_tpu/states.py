@@ -24,6 +24,46 @@ from mici_tpu._pytree import register_pytree
 from mici_tpu import errors
 
 
+def cache_in_state(*depends_on):
+    """Decorator marking a system method as a cached function of state.
+
+    Reference: mici/states.py:37-75.  In the reference this memoizes the
+    method value in the chain state's cache, invalidated when any of the
+    ``depends_on`` variables is written.  Under ``jit`` tracing, repeated
+    evaluations of the same pure method at the same state are merged by
+    XLA common-subexpression elimination, so this decorator is a no-op
+    kept for API compatibility with reference-style custom systems — the
+    caching it expressed happens in the compiler.
+    """
+
+    def decorator(method):
+        method._cache_depends_on = tuple(depends_on)
+        return method
+
+    return decorator
+
+
+def cache_in_state_with_aux(depends_on, auxiliary_outputs):
+    """Decorator for methods computing auxiliary outputs as a by-product.
+
+    Reference: mici/states.py:78-157.  As :func:`cache_in_state`, this is
+    a compatibility no-op: auxiliary-output reuse (e.g. the density value
+    from a gradient forward pass) is expressed by the ``aux`` dict threaded
+    through states and recovered by XLA CSE elsewhere.
+    """
+    if isinstance(depends_on, str):
+        depends_on = (depends_on,)
+    if isinstance(auxiliary_outputs, str):
+        auxiliary_outputs = (auxiliary_outputs,)
+
+    def decorator(method):
+        method._cache_depends_on = tuple(depends_on)
+        method._cache_auxiliary_outputs = tuple(auxiliary_outputs)
+        return method
+
+    return decorator
+
+
 @register_pytree(data_fields=("pos", "mom", "dir", "error", "aux"))
 class ChainState:
     """Immutable chain state: position, momentum, integration direction.
