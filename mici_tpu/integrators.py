@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from mici_tpu import errors
 from mici_tpu._pytree import register_pytree
 from mici_tpu.solvers import (
+    _resolve_tol,
     maximum_norm,
     solve_fixed_point_direct,
     solve_projection_onto_manifold_newton,
@@ -48,6 +49,11 @@ class Integrator:
             )
             raise errors.AdaptationError(msg)
         return self._step(state, state.dir * self.step_size)
+
+    def _reverse_tol(self, state):
+        return _resolve_tol(
+            getattr(self, "reverse_check_tol", None), state.pos.dtype, 2e-8,
+        )
 
 
 class TractableFlowIntegrator(Integrator):
@@ -184,11 +190,13 @@ class ImplicitLeapfrogIntegrator(Integrator):
     NON_REVERSIBLE bit.
     """
 
-    def __init__(self, system, step_size=None, reverse_check_tol=2e-8,
+    def __init__(self, system, step_size=None, reverse_check_tol=None,
                  reverse_check_norm=maximum_norm,
                  fixed_point_solver=solve_fixed_point_direct,
                  fixed_point_solver_kwargs=None):
         super().__init__(system, step_size)
+        # None resolves to a dtype-aware default at trace time
+        # (2e-8 in f64, rescaled for f32; see solvers.default_tol).
         self.reverse_check_tol = reverse_check_tol
         self.reverse_check_norm = reverse_check_norm
         self.fixed_point_solver = fixed_point_solver
@@ -228,7 +236,7 @@ class ImplicitLeapfrogIntegrator(Integrator):
         rev_diff = self.reverse_check_norm(state_back.mom - mom_init)
         return state_explicit.with_error_bit(
             errors.NON_REVERSIBLE_BIT,
-            (rev_diff > self.reverse_check_tol) | jnp.isnan(rev_diff),
+            (rev_diff > self._reverse_tol(state)) | jnp.isnan(rev_diff),
         ).with_error_bit(errors.CONVERGENCE_BIT, state_back.error != 0)
 
     def _step_c_fwd(self, state, time_step):
@@ -241,7 +249,7 @@ class ImplicitLeapfrogIntegrator(Integrator):
         rev_diff = self.reverse_check_norm(state_back.pos - pos_init)
         return state_explicit.with_error_bit(
             errors.NON_REVERSIBLE_BIT,
-            (rev_diff > self.reverse_check_tol) | jnp.isnan(rev_diff),
+            (rev_diff > self._reverse_tol(state)) | jnp.isnan(rev_diff),
         ).with_error_bit(
             errors.CONVERGENCE_BIT, state_back.error != 0,
         )
@@ -283,11 +291,13 @@ class ImplicitMidpointIntegrator(Integrator):
     explicit reversibility check.  Reference: mici/integrators.py:547-681.
     """
 
-    def __init__(self, system, step_size=None, reverse_check_tol=2e-8,
+    def __init__(self, system, step_size=None, reverse_check_tol=None,
                  reverse_check_norm=maximum_norm,
                  fixed_point_solver=solve_fixed_point_direct,
                  fixed_point_solver_kwargs=None):
         super().__init__(system, step_size)
+        # None resolves to a dtype-aware default at trace time
+        # (2e-8 in f64, rescaled for f32; see solvers.default_tol).
         self.reverse_check_tol = reverse_check_tol
         self.reverse_check_norm = reverse_check_norm
         self.fixed_point_solver = fixed_point_solver
@@ -333,7 +343,7 @@ class ImplicitMidpointIntegrator(Integrator):
         ]))
         return new_state.with_error_bit(
             errors.NON_REVERSIBLE_BIT,
-            (rev_diff > self.reverse_check_tol) | jnp.isnan(rev_diff),
+            (rev_diff > self._reverse_tol(state)) | jnp.isnan(rev_diff),
         ).with_error_bit(errors.CONVERGENCE_BIT, state_back.error != 0)
 
     def _step(self, state, time_step):
@@ -358,7 +368,7 @@ class ConstrainedLeapfrogIntegrator(TractableFlowIntegrator):
     """
 
     def __init__(self, system, step_size=None, n_inner_step=1,
-                 reverse_check_tol=2e-8, reverse_check_norm=maximum_norm,
+                 reverse_check_tol=None, reverse_check_norm=maximum_norm,
                  projection_solver=solve_projection_onto_manifold_newton,
                  projection_solver_kwargs=None):
         super().__init__(system, step_size)
@@ -405,7 +415,7 @@ class ConstrainedLeapfrogIntegrator(TractableFlowIntegrator):
             )
             state = state.with_error_bit(
                 errors.NON_REVERSIBLE_BIT,
-                (rev_diff > self.reverse_check_tol) | jnp.isnan(rev_diff),
+                (rev_diff > self._reverse_tol(state)) | jnp.isnan(rev_diff),
             ).with_error_bit(
                 errors.CONVERGENCE_BIT, state_back.error != 0,
             )

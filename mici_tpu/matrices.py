@@ -55,15 +55,60 @@ def _eigh_2x2(matrix):
     return eigval, eigvec
 
 
-def symmetric_eigendecomposition(matrix):
-    """Eigendecomposition of a symmetric matrix, analytic for tiny sizes.
+#: Largest matrix size decomposed with the fixed-sweep Jacobi kernel.
+_JACOBI_MAX_SIZE = 8
+_JACOBI_SWEEPS = 12
 
-    Dispatches (statically, on shape) to the closed-form 2x2 kernel or to
-    ``jnp.linalg.eigh``.  Returns ``(eigval, eigvec)`` with ascending
-    eigenvalues and eigenvectors as columns.
+
+def _eigh_jacobi(matrix, n_sweeps=_JACOBI_SWEEPS):
+    """Cyclic Jacobi eigendecomposition with a fixed sweep count.
+
+    For small symmetric matrices the classical Jacobi rotation sweep
+    converges quadratically; a fixed (static) number of sweeps reaches
+    machine precision for n <= 8 while producing a small straight-line
+    graph instead of XLA's iterative QDWH ``eigh`` — important when the
+    decomposition sits inside nested ``while_loop``s (Riemannian metric
+    rebuilds in implicit integrators).
+    """
+    n = matrix.shape[0]
+    a = matrix
+    v = jnp.eye(n, dtype=matrix.dtype)
+    for _ in range(n_sweeps):
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq = a[p, q]
+                theta = 0.5 * jnp.arctan2(
+                    2.0 * apq, a[p, p] - a[q, q],
+                )
+                c, s = jnp.cos(theta), jnp.sin(theta)
+                # A <- J^T A J with Givens J acting on the (p, q) plane.
+                row_p = c * a[p, :] + s * a[q, :]
+                row_q = -s * a[p, :] + c * a[q, :]
+                a = a.at[p, :].set(row_p).at[q, :].set(row_q)
+                col_p = c * a[:, p] + s * a[:, q]
+                col_q = -s * a[:, p] + c * a[:, q]
+                a = a.at[:, p].set(col_p).at[:, q].set(col_q)
+                vcol_p = c * v[:, p] + s * v[:, q]
+                vcol_q = -s * v[:, p] + c * v[:, q]
+                v = v.at[:, p].set(vcol_p).at[:, q].set(vcol_q)
+    eigval = jnp.diagonal(a)
+    order = jnp.argsort(eigval)
+    return eigval[order], v[:, order]
+
+
+def symmetric_eigendecomposition(matrix):
+    """Eigendecomposition of a symmetric matrix, specialized for tiny sizes.
+
+    Dispatches (statically, on shape) to the closed-form 2x2 kernel, the
+    fixed-sweep Jacobi kernel (n <= 8), or ``jnp.linalg.eigh``.  Returns
+    ``(eigval, eigvec)`` with ascending eigenvalues and eigenvectors as
+    columns.
     """
     if matrix.ndim == 2 and matrix.shape == (2, 2):
         return _eigh_2x2(matrix)
+    if (matrix.ndim == 2 and matrix.shape[0] == matrix.shape[1]
+            and matrix.shape[0] <= _JACOBI_MAX_SIZE):
+        return _eigh_jacobi(matrix)
     return jnp.linalg.eigh(matrix)
 
 

@@ -17,6 +17,29 @@ from jax import lax
 from mici_tpu import errors
 
 
+def default_tol(dtype, f64_value):
+    """Dtype-aware tolerance: the reference (f64) value, rescaled for f32.
+
+    The reference's solver/reversibility tolerances (e.g. ``1e-9``,
+    mici/solvers.py:50) assume double precision; on TPU the default
+    compute dtype is float32 whose error floor makes those unattainable.
+    Tolerances passed as ``None`` resolve through this map: the f64 value
+    is kept in f64, and scaled by the ratio of machine epsilons raised to
+    the 0.75 power in f32 (e.g. 1e-9 -> ~2.6e-5).
+    """
+    f64_value = float(f64_value)
+    if jnp.finfo(dtype).bits >= 64:
+        return f64_value
+    import math
+
+    eps_ratio = jnp.finfo(jnp.float32).eps / jnp.finfo(jnp.float64).eps
+    return f64_value * float(eps_ratio) ** 0.75
+
+
+def _resolve_tol(tol, dtype, f64_value):
+    return default_tol(dtype, f64_value) if tol is None else tol
+
+
 def euclidean_norm(vct):
     """Calculate the Euclidean (L-2) norm of a vector.
 
@@ -33,7 +56,7 @@ def maximum_norm(vct):
     return jnp.max(jnp.abs(vct))
 
 
-def solve_fixed_point_direct(func, x0, convergence_tol=1e-9,
+def solve_fixed_point_direct(func, x0, convergence_tol=None,
                              divergence_tol=1e10, max_iters=100,
                              norm=maximum_norm):
     """Solve fixed point equation ``func(x) = x`` using direct iteration.
@@ -45,6 +68,7 @@ def solve_fixed_point_direct(func, x0, convergence_tol=1e-9,
         is True when the iteration diverged, produced NaNs, or failed to
         converge within ``max_iters``.
     """
+    convergence_tol = _resolve_tol(convergence_tol, x0.dtype, 1e-9)
 
     def cond(carry):
         i, _x, converged, diverged = carry
@@ -64,7 +88,7 @@ def solve_fixed_point_direct(func, x0, convergence_tol=1e-9,
     return x, diverged | ~converged
 
 
-def solve_fixed_point_steffensen(func, x0, convergence_tol=1e-9,
+def solve_fixed_point_steffensen(func, x0, convergence_tol=None,
                                  divergence_tol=1e10, max_iters=100,
                                  norm=maximum_norm):
     """Solve fixed point equation ``func(x) = x`` using Steffensen's method.
@@ -75,6 +99,7 @@ def solve_fixed_point_steffensen(func, x0, convergence_tol=1e-9,
     Returns:
         Tuple ``(x, error_flag)`` as for :func:`solve_fixed_point_direct`.
     """
+    convergence_tol = _resolve_tol(convergence_tol, x0.dtype, 1e-9)
 
     def cond(carry):
         i, _x, converged, diverged = carry
@@ -115,8 +140,8 @@ def _finalize_projection(system, state, pos, mu, dh2_flow_mom_dmom,
 
 
 def solve_projection_onto_manifold_quasi_newton(
-    state, state_prev, time_step, system, constraint_tol=1e-9,
-    position_tol=1e-8, divergence_tol=1e10, max_iters=50,
+    state, state_prev, time_step, system, constraint_tol=None,
+    position_tol=None, divergence_tol=1e10, max_iters=50,
     norm=maximum_norm, _prepare_result=True,
 ):
     r"""Solve constraint equation using symmetric quasi-Newton method.
@@ -130,6 +155,8 @@ def solve_projection_onto_manifold_quasi_newton(
     ``max_iters`` exhaustion) sets the CONVERGENCE error bit on the
     returned state instead of raising.
     """
+    constraint_tol = _resolve_tol(constraint_tol, state.pos.dtype, 1e-9)
+    position_tol = _resolve_tol(position_tol, state.pos.dtype, 1e-8)
     jacob_constr_prev = system.jacob_constr(state_prev)
     dh2_flow_pos_dmom, dh2_flow_mom_dmom = system.dh2_flow_dmom(
         state_prev, jnp.abs(time_step),
@@ -171,8 +198,8 @@ def solve_projection_onto_manifold_quasi_newton(
 
 
 def solve_projection_onto_manifold_newton(
-    state, state_prev, time_step, system, constraint_tol=1e-9,
-    position_tol=1e-8, divergence_tol=1e10, max_iters=50,
+    state, state_prev, time_step, system, constraint_tol=None,
+    position_tol=None, divergence_tol=1e10, max_iters=50,
     norm=maximum_norm, _prepare_result=True,
 ):
     r"""Solve constraint equation using Newton's method.
@@ -180,6 +207,8 @@ def solve_projection_onto_manifold_newton(
     Re-evaluates the constraint Jacobian and re-factorizes the residual
     Jacobian on every iteration.  Reference: mici/solvers.py:346-469.
     """
+    constraint_tol = _resolve_tol(constraint_tol, state.pos.dtype, 1e-9)
+    position_tol = _resolve_tol(position_tol, state.pos.dtype, 1e-8)
     jacob_constr_prev = system.jacob_constr(state_prev)
     dh2_flow_pos_dmom, dh2_flow_mom_dmom = system.dh2_flow_dmom(
         state_prev, jnp.abs(time_step),
@@ -219,8 +248,8 @@ def solve_projection_onto_manifold_newton(
 
 
 def solve_projection_onto_manifold_newton_with_line_search(
-    state, state_prev, time_step, system, constraint_tol=1e-9,
-    position_tol=1e-8, divergence_tol=1e10, max_iters=50,
+    state, state_prev, time_step, system, constraint_tol=None,
+    position_tol=None, divergence_tol=1e10, max_iters=50,
     max_line_search_iters=10, norm=maximum_norm, _prepare_result=True,
 ):
     r"""Solve constraint equation using Newton's method with backtracking.
@@ -229,6 +258,8 @@ def solve_projection_onto_manifold_newton_with_line_search(
     update by a step size found by halving until the constraint residual
     norm decreases.  Reference: mici/solvers.py:472-614.
     """
+    constraint_tol = _resolve_tol(constraint_tol, state.pos.dtype, 1e-9)
+    position_tol = _resolve_tol(position_tol, state.pos.dtype, 1e-8)
     jacob_constr_prev = system.jacob_constr(state_prev)
     dh2_flow_pos_dmom, dh2_flow_mom_dmom = system.dh2_flow_dmom(
         state_prev, jnp.abs(time_step),

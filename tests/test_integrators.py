@@ -130,14 +130,21 @@ def test_reversibility(case):
     Reference: mici tests/test_integrators.py:76-91.
     """
     system, integrator = case
-    for state in _init_states(system):
-        s = state
-        for _ in range(N_STEP_REV):
-            s = integrator.step(s)
-        assert int(s.error) == 0
+
+    @jax.jit
+    def roundtrip(state):
+        def step(s, _):
+            return integrator.step(s), None
+
+        s, _ = jax.lax.scan(step, state, None, length=N_STEP_REV)
+        fwd_error = s.error
         s = s.replace(dir=-s.dir)
-        for _ in range(N_STEP_REV):
-            s = integrator.step(s)
+        s, _ = jax.lax.scan(step, s, None, length=N_STEP_REV)
+        return s, fwd_error
+
+    for state in _init_states(system):
+        s, fwd_error = roundtrip(state)
+        assert int(fwd_error) == 0
         assert int(s.error) == 0
         np.testing.assert_allclose(s.pos, state.pos, atol=1e-7)
         np.testing.assert_allclose(s.mom, state.mom, atol=1e-7)
@@ -259,29 +266,34 @@ def test_constrained_leapfrog(projection_solver):
     mom = system.sample_momentum(state, jax.random.PRNGKey(0))
     state = state.replace(mom=mom)
 
-    # constraint and cotangency preserved along trajectory
-    s = state
-    for _ in range(20):
-        s = integrator.step(s)
-        assert int(s.error) == 0
-        np.testing.assert_allclose(
-            np.asarray(system.constr(s)), 0.0, atol=1e-8)
-        jacob = np.asarray(system.jacob_constr(s))
-        np.testing.assert_allclose(
-            jacob @ np.asarray(system.dh2_dmom(s)), 0.0, atol=1e-8)
+    @jax.jit
+    def forward(state):
+        def step(s, _):
+            s = integrator.step(s)
+            outs = (
+                system.constr(s),
+                system.jacob_constr(s) @ system.dh2_dmom(s),
+                s.error,
+                system.h(s),
+            )
+            return s, outs
 
-    # reversibility
-    s = s.replace(dir=-s.dir)
-    for _ in range(20):
-        s = integrator.step(s)
-    np.testing.assert_allclose(s.pos, state.pos, atol=1e-6)
-    np.testing.assert_allclose(s.mom, state.mom, atol=1e-6)
+        return jax.lax.scan(step, state, None, length=20)
+
+    # constraint and cotangency preserved along trajectory
+    s, (constrs, cotangency, step_errors, hs) = forward(state)
+    assert int(np.max(np.abs(np.asarray(step_errors)))) == 0
+    np.testing.assert_allclose(np.asarray(constrs), 0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(cotangency), 0.0, atol=1e-8)
 
     # Hamiltonian conservation
-    s, h0 = state, float(system.h(state))
-    for _ in range(20):
-        s = integrator.step(s)
-    assert abs(float(system.h(s)) - h0) < 0.1
+    h0 = float(system.h(state))
+    assert np.max(np.abs(np.asarray(hs) - h0)) < 0.1
+
+    # reversibility
+    s, _ = forward(s.replace(dir=-s.dir))
+    np.testing.assert_allclose(s.pos, state.pos, atol=1e-6)
+    np.testing.assert_allclose(s.mom, state.mom, atol=1e-6)
 
 
 def test_constrained_gaussian_system():
@@ -300,16 +312,20 @@ def test_constrained_gaussian_system():
     state = system.prepare_state(ChainState(pos=pos, mom=None, dir=1))
     mom = system.sample_momentum(state, jax.random.PRNGKey(1))
     state = state.replace(mom=mom)
-    s = state
-    for _ in range(10):
-        s = integrator.step(s)
-        assert int(s.error) == 0
-        np.testing.assert_allclose(
-            np.asarray(system.constr(s)), 0.0, atol=1e-8)
+
+    @jax.jit
+    def forward(state):
+        def step(s, _):
+            s = integrator.step(s)
+            return s, (system.constr(s), s.error)
+
+        return jax.lax.scan(step, state, None, length=10)
+
+    s, (constrs, step_errors) = forward(state)
+    assert int(np.max(np.abs(np.asarray(step_errors)))) == 0
+    np.testing.assert_allclose(np.asarray(constrs), 0.0, atol=1e-8)
     # reversibility
-    s = s.replace(dir=-s.dir)
-    for _ in range(10):
-        s = integrator.step(s)
+    s, _ = forward(s.replace(dir=-s.dir))
     np.testing.assert_allclose(s.pos, state.pos, atol=1e-6)
 
 

@@ -28,7 +28,14 @@ DIM = 3
 N_CHAIN = 4
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _make_system():
+    # Memoized: reusing the same system object across tests lets the
+    # module-level jitted stage functions hit their compilation caches
+    # (static callables compare by identity).
     rng = np.random.default_rng(SEED)
     a = rng.standard_normal((DIM, DIM))
     cov = a @ a.T + DIM * np.eye(DIM)
@@ -57,26 +64,34 @@ SAMPLER_MAKERS = {
         system, integ, rng, max_tree_depth=6),
 }
 
+# Shared adapter instances: adapters enter the compiled stage functions as
+# static (identity-hashed) arguments, so reusing instances avoids
+# recompilation across tests.
+_DA = adapters.DualAveragingStepSizeAdapter()
+_VAR = adapters.OnlineVarianceMetricAdapter()
+_COV = adapters.OnlineCovarianceMetricAdapter()
 ADAPTER_SETTINGS = {
-    "step_only": lambda: [adapters.DualAveragingStepSizeAdapter()],
-    "step_and_variance": lambda: [
-        adapters.DualAveragingStepSizeAdapter(),
-        adapters.OnlineVarianceMetricAdapter(),
-    ],
-    "step_and_covariance": lambda: [
-        adapters.DualAveragingStepSizeAdapter(),
-        adapters.OnlineCovarianceMetricAdapter(),
-    ],
+    "step_only": lambda: [_DA],
+    "step_and_variance": lambda: [_DA, _VAR],
+    "step_and_covariance": lambda: [_DA, _COV],
 }
 
 
-@pytest.mark.parametrize("sampler_name", list(SAMPLER_MAKERS))
-@pytest.mark.parametrize("adapter_name", list(ADAPTER_SETTINGS))
+@pytest.mark.parametrize("sampler_name,adapter_name", [
+    # every sampler with the default step-size adapter, plus the metric
+    # adapters (which change the compiled program) on the flagship sampler
+    ("static", "step_only"),
+    ("random", "step_only"),
+    ("dynamic_multinomial", "step_only"),
+    ("dynamic_slice", "step_only"),
+    ("dynamic_multinomial", "step_and_variance"),
+    ("dynamic_multinomial", "step_and_covariance"),
+])
 def test_sample_chains(sampler_name, adapter_name):
     system, cov = _make_system()
     integ = integrators.LeapfrogIntegrator(system)
     sampler = SAMPLER_MAKERS[sampler_name](system, integ, SEED)
-    n_warm, n_main = 100, 100
+    n_warm, n_main = 60, 60
     out = sampler.sample_chains(
         n_warm, n_main, _init_states(),
         adapters=ADAPTER_SETTINGS[adapter_name](),
@@ -107,7 +122,7 @@ def test_windowed_stager_used_for_slow_adapters():
     integ = integrators.LeapfrogIntegrator(system)
     sampler = samplers.DynamicMultinomialHMC(system, integ, SEED)
     out = sampler.sample_chains(
-        150, 50, _init_states(),
+        120, 40, _init_states(),
         adapters=[
             adapters.DualAveragingStepSizeAdapter(),
             adapters.OnlineVarianceMetricAdapter(),
@@ -119,7 +134,7 @@ def test_windowed_stager_used_for_slow_adapters():
     metric = sampler.system.metric
     diag = np.asarray(metric.diagonal)
     assert not np.allclose(diag, diag[0] * np.ones(DIM))
-    assert out.traces["pos"].shape == (N_CHAIN, 50, DIM)
+    assert out.traces["pos"].shape == (N_CHAIN, 40, DIM)
 
 
 def test_trace_warm_up():
