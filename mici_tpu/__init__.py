@@ -14,11 +14,14 @@ __version__ = "0.1.0"
 from mici_tpu import (  # noqa: F401
     adapters,
     autodiff,
+    diagnostics,
     errors,
     integrators,
     interop,
     matrices,
+    ops,
     parallel,
+    profiling,
     progressbars,
     samplers,
     solvers,
@@ -26,9 +29,12 @@ from mici_tpu import (  # noqa: F401
     states,
     systems,
     transitions,
+    types,
     utils,
 )
 from mici_tpu.interface import (  # noqa: F401
     sample_constrained_hmc_chains,
     sample_hmc_chains,
 )
+
+__all__ = ["sample_constrained_hmc_chains", "sample_hmc_chains"]

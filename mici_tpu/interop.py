@@ -98,6 +98,7 @@ def construct_pymc_model_functions(model):
         grad_shape = jax.ShapeDtypeStruct((dim,), dtype)
         val, grad = jax.pure_callback(
             _host_val_and_grad, (val_shape, grad_shape), q,
+            vmap_method="sequential",
         )
         return grad, val
 
@@ -207,6 +208,7 @@ def construct_stan_model_functions(model):
         grad_shape = jax.ShapeDtypeStruct((dim,), dtype)
         val, grad = jax.pure_callback(
             _host_val_and_grad, (val_shape, grad_shape), q,
+            vmap_method="sequential",
         )
         return grad, val
 
