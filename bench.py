@@ -20,6 +20,7 @@ import time
 import numpy as np
 
 N_CHAIN = 1024
+CHUNK = 16           # one compiled program is reused for warm-up and main
 N_WARM = 16
 N_MAIN = 96
 STEP_SIZE = 0.2
@@ -151,20 +152,28 @@ def run_tpu_benchmark():
             ChainState(pos=q, mom=jnp.zeros_like(q), dir=1)),
     )(pos0)
 
-    # Warm-up chunk (also compiles both chunk sizes used below).
+    # Warm-up chunk (compiles the single chunk-sized program).
     keys = jax.random.split(jax.random.PRNGKey(0), N_CHAIN)
-    states, _, _ = run(states, keys, N_WARM)
+    for i in range(N_WARM // CHUNK):
+        states, _, _ = run(states, keys, CHUNK)
+        keys = jax.random.split(jax.random.PRNGKey(1000 + i), N_CHAIN)
     jax.block_until_ready(states.pos)
 
-    # Timed main run.
-    keys = jax.random.split(jax.random.PRNGKey(1), N_CHAIN)
+    # Timed main run: reuse the compiled chunk program.
+    pos_chunks, n_step_chunks = [], []
     t0 = time.perf_counter()
-    states, pos_trace, n_steps = run(states, keys, N_MAIN)
-    jax.block_until_ready(pos_trace)
+    for i in range(N_MAIN // CHUNK):
+        keys = jax.random.split(jax.random.PRNGKey(2000 + i), N_CHAIN)
+        states, pos_trace, n_steps = run(states, keys, CHUNK)
+        pos_chunks.append(pos_trace)
+        n_step_chunks.append(n_steps)
+    jax.block_until_ready(pos_chunks[-1])
     elapsed = time.perf_counter() - t0
 
-    pos_trace = np.asarray(pos_trace)  # (n_chain, n_iter, 2)
-    n_steps = np.asarray(n_steps)
+    pos_trace = np.concatenate(
+        [np.asarray(c) for c in pos_chunks], axis=1)  # (n_chain, n_iter, 2)
+    n_steps = np.concatenate(
+        [np.asarray(c) for c in n_step_chunks], axis=1)
     ess = np.array([
         effective_sample_size(pos_trace[:, :, d]) for d in range(2)
     ])

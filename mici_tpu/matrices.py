@@ -100,14 +100,22 @@ def symmetric_eigendecomposition(matrix):
     """Eigendecomposition of a symmetric matrix, specialized for tiny sizes.
 
     Dispatches (statically, on shape) to the closed-form 2x2 kernel, the
-    fixed-sweep Jacobi kernel (n <= 8), or ``jnp.linalg.eigh``.  Returns
+    fixed-sweep Jacobi kernel (n <= 8, under tracing only — in eager mode
+    the op-by-op dispatch of the unrolled sweeps would cost more than the
+    LAPACK/QDWH call it replaces), or ``jnp.linalg.eigh``.  Returns
     ``(eigval, eigvec)`` with ascending eigenvalues and eigenvectors as
     columns.
     """
+    import jax
+
     if matrix.ndim == 2 and matrix.shape == (2, 2):
         return _eigh_2x2(matrix)
     if (matrix.ndim == 2 and matrix.shape[0] == matrix.shape[1]
-            and matrix.shape[0] <= _JACOBI_MAX_SIZE):
+            and matrix.shape[0] <= _JACOBI_MAX_SIZE
+            and isinstance(matrix, jax.core.Tracer)
+            and jax.default_backend() == "tpu"):
+        # The Jacobi kernel exists to dodge the TPU QDWH compile blowup;
+        # CPU/GPU eigh compiles fine and is used as is.
         return _eigh_jacobi(matrix)
     return jnp.linalg.eigh(matrix)
 

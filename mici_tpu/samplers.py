@@ -338,6 +338,13 @@ class MarkovChainMonteCarloMethod:
             chunk_size: Number of iterations per compiled chunk; bounds
                 device memory for traces.  None runs each stage as a single
                 chunk.
+            mesh: Optional ``jax.sharding.Mesh`` with a ``chains`` axis
+                (see :func:`mici_tpu.parallel.make_chain_mesh`).  When
+                given, the chain axis of all chain state is sharded over
+                the mesh so the compiled stage programs execute
+                data-parallel over the devices, with cross-chain adapter
+                reductions lowered to XLA collectives over ICI.  The
+                number of chains must be divisible by the mesh size.
 
         Returns:
             MCMCSampleChainsOutputs(final_states, traces, statistics).
