@@ -14,8 +14,6 @@ under ``jit`` tracing the distinction disappears).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -40,9 +40,6 @@ from mici_tpu.progressbars import (
 )
 from mici_tpu.stagers import WarmUpStager, WindowedWarmUpStager
 from mici_tpu.states import ChainState
-from mici_tpu.systems import (
-    ConstrainedTractableFlowSystem,
-)
 from mici_tpu.transitions import (
     IndependentMomentumTransition,
     MetropolisRandomIntegrationTransition,

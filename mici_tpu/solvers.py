@@ -30,8 +30,6 @@ def default_tol(dtype, f64_value):
     f64_value = float(f64_value)
     if jnp.finfo(dtype).bits >= 64:
         return f64_value
-    import math
-
     eps_ratio = jnp.finfo(jnp.float32).eps / jnp.finfo(jnp.float64).eps
     return f64_value * float(eps_ratio) ** 0.75
 
