@@ -152,12 +152,18 @@ def run_tpu_benchmark():
             ChainState(pos=q, mom=jnp.zeros_like(q), dir=1)),
     )(pos0)
 
+    def host_sync(x):
+        # On remote-tunneled backends ``block_until_ready`` can return
+        # before execution completes; a (tiny) host fetch is a reliable
+        # barrier.
+        return np.asarray(x[:1, :1])
+
     # Warm-up chunk (compiles the single chunk-sized program).
     keys = jax.random.split(jax.random.PRNGKey(0), N_CHAIN)
     for i in range(N_WARM // CHUNK):
         states, _, _ = run(states, keys, CHUNK)
         keys = jax.random.split(jax.random.PRNGKey(1000 + i), N_CHAIN)
-    jax.block_until_ready(states.pos)
+    host_sync(states.pos)
 
     # Timed main run: reuse the compiled chunk program.
     pos_chunks, n_step_chunks = [], []
@@ -167,7 +173,7 @@ def run_tpu_benchmark():
         states, pos_trace, n_steps = run(states, keys, CHUNK)
         pos_chunks.append(pos_trace)
         n_step_chunks.append(n_steps)
-    jax.block_until_ready(pos_chunks[-1])
+    host_sync(states.pos)
     elapsed = time.perf_counter() - t0
 
     pos_trace = np.concatenate(
