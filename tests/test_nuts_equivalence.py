@@ -1,0 +1,189 @@
+"""Iterative-vs-recursive NUTS subtree build equivalence.
+
+The trickiest re-design in the framework is the iterative checkpoint-buffer
+subtree builder (mici_tpu/transitions.py::_build_subtree) replacing the
+reference's recursion (mici/transitions.py:645-706).  Termination decisions,
+momentum sums, edge states, tree weights and step counts are all
+*deterministic* given the trajectory (only proposal selection consumes
+randomness), so this test re-implements the reference recursion directly
+(same merge structure, same whole-tree and extra overlapping-subtree
+checks) and requires exact agreement on dozens of random cases crossing
+depths, directions, termination criteria and extra-check settings.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mici_tpu import integrators, systems, transitions
+from mici_tpu.states import ChainState
+
+SEED = 424242
+DIM = 3
+
+
+def _setup(step_size):
+    rng = np.random.default_rng(SEED)
+    a = rng.standard_normal((DIM, DIM))
+    cov = a @ a.T + DIM * np.eye(DIM)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def nld(q):
+        return 0.5 * q @ (prec @ q)
+
+    system = systems.EuclideanMetricSystem(nld)
+    integrator = integrators.LeapfrogIntegrator(system, step_size)
+    return system, integrator
+
+
+class _RecursiveReference:
+    """Direct implementation of the reference recursion semantics."""
+
+    def __init__(self, system, integrator, criterion, do_extra,
+                 max_delta_h=1000.0):
+        self.system = system
+        self.integrator = integrator
+        self.criterion = criterion
+        self.do_extra = do_extra
+        self.max_delta_h = max_delta_h
+        self.n_step = 0
+
+    def _crit(self, s1, s2, sum_mom):
+        # velocities = dh_dmom for the Euclidean system
+        v1 = np.asarray(self.system.dh_dmom(s1))
+        v2 = np.asarray(self.system.dh_dmom(s2))
+        if self.criterion == "euclidean":
+            diff = np.asarray(s2.pos) - np.asarray(s1.pos)
+            return (v1 @ diff < 0) or (v2 @ diff < 0)
+        return (v1 @ sum_mom < 0) or (v2 @ sum_mom < 0)
+
+    def _termination(self, tree, neg_sub, pos_sub):
+        # mici/transitions.py:561-590
+        if self._crit(tree["neg"], tree["pos"], tree["sum_mom"]):
+            return True
+        if tree["depth"] > 1 and self.do_extra:
+            return self._crit(
+                neg_sub["neg"], pos_sub["neg"],
+                neg_sub["sum_mom"] + np.asarray(pos_sub["neg"].mom),
+            ) or self._crit(
+                neg_sub["pos"], pos_sub["pos"],
+                pos_sub["sum_mom"] + np.asarray(neg_sub["pos"].mom),
+            )
+        return False
+
+    def build(self, depth, state, h_init):
+        # mici/transitions.py:645-706 (proposal sampling omitted: it does
+        # not affect the compared outputs)
+        if depth == 0:
+            new_state = self.integrator.step(state)
+            assert int(new_state.error) == 0
+            h = float(self.system.h(new_state))
+            self.n_step += 1
+            if h - h_init > self.max_delta_h:
+                return True, None
+            tree = {
+                "neg": new_state, "pos": new_state,
+                "sum_mom": np.asarray(new_state.mom).copy(),
+                "log_weight": -h, "depth": 0,
+            }
+            return False, tree
+        term, inner = self.build(depth - 1, state, h_init)
+        if term:
+            return True, None
+        state2 = inner["pos"] if int(state.dir) == 1 else inner["neg"]
+        state2 = state2.replace(dir=state.dir)
+        term, outer = self.build(depth - 1, state2, h_init)
+        if term:
+            return True, None
+        neg_sub = inner if int(state.dir) == 1 else outer
+        pos_sub = outer if int(state.dir) == 1 else inner
+        tree = {
+            "neg": neg_sub["neg"], "pos": pos_sub["pos"],
+            "sum_mom": neg_sub["sum_mom"] + pos_sub["sum_mom"],
+            "log_weight": np.logaddexp(
+                neg_sub["log_weight"], pos_sub["log_weight"]),
+            "depth": inner["depth"] + 1,
+        }
+        return self._termination(tree, neg_sub, pos_sub), tree
+
+
+@pytest.mark.parametrize("criterion", ["euclidean", "riemannian"])
+@pytest.mark.parametrize("do_extra", [True, False])
+@pytest.mark.parametrize("direction", [1, -1])
+@pytest.mark.parametrize("depth", [0, 2, 4])
+def test_subtree_build_matches_recursion(criterion, do_extra, direction,
+                                         depth):
+    # step size large enough that U-turns occur within depth <= 4 trees
+    system, integrator = _setup(step_size=0.9)
+    crit_fn = (transitions.euclidean_no_u_turn_criterion
+               if criterion == "euclidean"
+               else transitions.riemannian_no_u_turn_criterion)
+    trans = transitions.MultinomialDynamicIntegrationTransition(
+        system, integrator, max_tree_depth=6,
+        termination_criterion=crit_fn,
+        do_extra_subtree_checks=do_extra)
+
+    rng = np.random.default_rng(SEED + depth)
+    n_mismatch_checked = 0
+    for case in range(4):
+        pos = rng.standard_normal(DIM)
+        mom = rng.standard_normal(DIM)
+        state = system.prepare_state(
+            ChainState(pos=pos, mom=mom, dir=direction))
+        h_init = float(system.h(state))
+
+        ref = _RecursiveReference(system, integrator, criterion, do_extra)
+        ref_term, ref_tree = ref.build(depth, state, h_init)
+
+        sub = trans._build_subtree(
+            state, jnp.int32(depth), {"h_init": jnp.asarray(h_init)},
+            jax.random.PRNGKey(case),
+        )
+
+        assert bool(sub["terminated"]) == ref_term, (
+            f"termination mismatch case={case}")
+        assert int(sub["n_step"]) == ref.n_step
+        if not ref_term:
+            np.testing.assert_allclose(
+                np.asarray(sub["sum_mom"]), ref_tree["sum_mom"],
+                atol=1e-10)
+            np.testing.assert_allclose(
+                float(sub["weight"]), ref_tree["log_weight"], atol=1e-10)
+            # first/last leaves in build order; reference neg/pos edges in
+            # time order
+            first, last = sub["first_leaf"], sub["last_leaf"]
+            neg = first if direction == 1 else last
+            pos_edge = last if direction == 1 else first
+            np.testing.assert_allclose(
+                np.asarray(neg.pos), np.asarray(ref_tree["neg"].pos),
+                atol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(pos_edge.pos), np.asarray(ref_tree["pos"].pos),
+                atol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(neg.mom), np.asarray(ref_tree["neg"].mom),
+                atol=1e-12)
+            n_mismatch_checked += 1
+        ref.n_step = 0
+
+
+def test_subtree_termination_rate_sanity():
+    """With a large step a depth-4 build should terminate at least once
+    (guards against the checks never firing)."""
+    system, integrator = _setup(step_size=1.4)
+    trans = transitions.MultinomialDynamicIntegrationTransition(
+        system, integrator, max_tree_depth=6)
+    rng = np.random.default_rng(SEED)
+    terminated = []
+    for case in range(8):
+        pos = rng.standard_normal(DIM)
+        mom = rng.standard_normal(DIM)
+        state = system.prepare_state(ChainState(pos=pos, mom=mom, dir=1))
+        h_init = float(system.h(state))
+        sub = trans._build_subtree(
+            state, jnp.int32(4), {"h_init": jnp.asarray(h_init)},
+            jax.random.PRNGKey(case),
+        )
+        terminated.append(bool(sub["terminated"]))
+    assert any(terminated)
