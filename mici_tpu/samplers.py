@@ -471,8 +471,15 @@ class MarkovChainMonteCarloMethod:
                 pb = progress_bar_class(
                     range(stage.n_iter), description=label, position=(1, 2),
                 )
+                pending = None  # (row, traces, stats)
                 with pb:
                     try:
+                        # Double-buffered streaming: the next chunk is
+                        # dispatched (asynchronously) before the previous
+                        # chunk's traces are copied to host, overlapping
+                        # device compute with device->host transfer — the
+                        # compiled-world analogue of the reference's
+                        # memmap flush pipeline (mici/samplers.py:354-367).
                         while n_remaining > 0:
                             this_chunk = min(chunk, n_remaining)
                             (states, chain_keys, params, adapt_states,
@@ -483,25 +490,17 @@ class MarkovChainMonteCarloMethod:
                                 trace_funcs=stage_trace_funcs,
                                 n_iter=this_chunk,
                             )
-                            # Stream chunk results to host buffers.
+                            if pending is not None:
+                                self._drain_chunk(
+                                    pending, traces, stats,
+                                    stage_trace_funcs, stage.record_stats,
+                                )
                             row = slice(
                                 sampling_index_offset + offset_in_stage,
                                 sampling_index_offset + offset_in_stage
                                 + this_chunk,
                             )
-                            if stage_trace_funcs is not None and traces:
-                                host_traces = jax.device_get(chunk_traces)
-                                for key, arr in host_traces.items():
-                                    traces[key][:, row] = arr
-                            if stage.record_stats and stats:
-                                host_stats = jax.device_get(chunk_stats)
-                                for t_key, t_stats in host_stats.items():
-                                    for key, arr in t_stats.items():
-                                        stats[t_key][key][:, row] = (
-                                            arr.astype(
-                                                stats[t_key][key].dtype,
-                                            )
-                                        )
+                            pending = (row, chunk_traces, chunk_stats)
                             offset_in_stage += this_chunk
                             n_remaining -= this_chunk
                             postfix = self._monitor_postfix(
@@ -511,8 +510,21 @@ class MarkovChainMonteCarloMethod:
                                 offset_in_stage,
                                 postfix,
                             )
+                        if pending is not None:
+                            self._drain_chunk(
+                                pending, traces, stats, stage_trace_funcs,
+                                stage.record_stats,
+                            )
                     except KeyboardInterrupt:
                         interrupted = True
+                        if pending is not None:
+                            try:
+                                self._drain_chunk(
+                                    pending, traces, stats,
+                                    stage_trace_funcs, stage.record_stats,
+                                )
+                            except Exception:  # noqa: BLE001
+                                pass
 
                 if stage_adapters and not interrupted:
                     transitions, states = self._finalize_adapters(
@@ -582,6 +594,22 @@ class MarkovChainMonteCarloMethod:
                         transitions, transition.system,
                     )
         return transitions, states
+
+    def _drain_chunk(self, pending, traces, stats, stage_trace_funcs,
+                     record_stats):
+        """Copy a completed chunk's device results into host buffers."""
+        row, chunk_traces, chunk_stats = pending
+        if stage_trace_funcs is not None and traces:
+            host_traces = jax.device_get(chunk_traces)
+            for key, arr in host_traces.items():
+                traces[key][:, row] = arr
+        if record_stats and stats:
+            host_stats = jax.device_get(chunk_stats)
+            for t_key, t_stats in host_stats.items():
+                for key, arr in t_stats.items():
+                    stats[t_key][key][:, row] = arr.astype(
+                        stats[t_key][key].dtype,
+                    )
 
     def _monitor_postfix(self, monitor_stats, chunk_stats):
         if monitor_stats is None:
