@@ -16,6 +16,20 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The suite compiles many hundreds of distinct XLA CPU programs; keeping
+    them all loaded has triggered segfaults in the XLA CPU JIT late in the
+    run.  Dropping the caches bounds resident compiled code (at the cost of
+    a few recompilations of shared fixtures).
+    """
+    yield
+    jax.clear_caches()
