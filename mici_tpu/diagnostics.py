@@ -72,6 +72,68 @@ def effective_sample_size_per_dim(traces):
     ])
 
 
+def summary(traces, var_names=None):
+    """Summary statistics and diagnostics table for chain traces.
+
+    The native replacement for the reference workflow's ``arviz.summary``
+    (cf. /root/reference/README.md:385).
+
+    Args:
+        traces: Dict of trace arrays of shape (n_chain, n_iter, ...) (as
+            returned by ``sample_chains``), or a single such array.
+        var_names: Optional iterable restricting which keys to summarize.
+
+    Returns:
+        Dict mapping flattened variable name (e.g. ``"pos[3]"``) to a dict
+        with keys ``mean``, ``sd``, ``median``, ``q5``, ``q95``, ``ess``
+        and ``rhat``.
+    """
+    if not isinstance(traces, dict):
+        traces = {"var": traces}
+    rows = {}
+    for key, arr in traces.items():
+        if var_names is not None and key not in var_names:
+            continue
+        arr = np.asarray(arr)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+            names = [key]
+        else:
+            flat_dims = int(np.prod(arr.shape[2:]))
+            arr = arr.reshape(arr.shape[0], arr.shape[1], flat_dims)
+            names = (
+                [key] if flat_dims == 1
+                else [f"{key}[{i}]" for i in range(flat_dims)]
+            )
+        for d, name in enumerate(names):
+            x = arr[:, :, d]
+            flat = x.reshape(-1)
+            rows[name] = {
+                "mean": float(flat.mean()),
+                "sd": float(flat.std(ddof=1)) if flat.size > 1 else 0.0,
+                "median": float(np.median(flat)),
+                "q5": float(np.quantile(flat, 0.05)),
+                "q95": float(np.quantile(flat, 0.95)),
+                "ess": effective_sample_size(x),
+                "rhat": split_rhat(x),
+            }
+    return rows
+
+
+def format_summary(rows):
+    """Render a :func:`summary` result as an aligned text table."""
+    header = ["variable", "mean", "sd", "median", "q5", "q95", "ess",
+              "rhat"]
+    lines = ["  ".join(f"{h:>10}" for h in header)]
+    for name, stats in rows.items():
+        lines.append("  ".join([f"{name:>10}"] + [
+            f"{stats[k]:>10.3f}" for k in header[1:]
+        ]))
+    return "\n".join(lines)
+
+
 def split_rhat(x):
     """Split-chain potential scale reduction factor (R-hat).
 

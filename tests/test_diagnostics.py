@@ -70,3 +70,25 @@ def test_split_rhat_within_chain_drift():
     rng = np.random.default_rng(6)
     x = rng.standard_normal((2, 2000)) + np.linspace(0, 5, 2000)
     assert split_rhat(x) > 1.2
+
+
+def test_summary():
+    from mici_tpu.diagnostics import format_summary, summary
+
+    rng = np.random.default_rng(7)
+    traces = {
+        "pos": rng.standard_normal((4, 500, 3)),
+        "hamiltonian": rng.standard_normal((4, 500)),
+    }
+    rows = summary(traces)
+    assert set(rows) == {"pos[0]", "pos[1]", "pos[2]", "hamiltonian"}
+    for stats in rows.values():
+        assert abs(stats["mean"]) < 0.2
+        assert abs(stats["sd"] - 1.0) < 0.1
+        assert stats["ess"] > 500
+        assert abs(stats["rhat"] - 1.0) < 0.05
+    table = format_summary(rows)
+    assert "pos[0]" in table and "rhat" in table
+    # name filtering
+    only = summary(traces, var_names=["hamiltonian"])
+    assert set(only) == {"hamiltonian"}
