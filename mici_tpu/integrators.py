@@ -212,15 +212,22 @@ class ImplicitLeapfrogIntegrator(Integrator):
     def _step_a(self, state, time_step):
         return self.system.h1_flow(state, time_step)
 
+    def _dh2_dpos_fn(self, state):
+        """Momentum-only dh2_dpos closure with position-fixed work hoisted
+        outside the fixed-point loop (one metric-VJP forward per sub-step
+        instead of one per solver iteration)."""
+        if hasattr(self.system, "dh2_dpos_fn"):
+            return self.system.dh2_dpos_fn(state)
+        return lambda mom: self.system.dh2_dpos(state.replace(mom=mom))
+
     def _step_b_fwd(self, state, time_step):
         # Solve p' = p - t * dh2_dpos(q, p') for p' (position fixed, so the
         # aux metric stays valid across fixed-point iterations).
         mom_init = state.mom
+        dh2_dpos = self._dh2_dpos_fn(state)
 
         def fixed_point_func(mom):
-            return mom_init - time_step * self.system.dh2_dpos(
-                state.replace(mom=mom),
-            )
+            return mom_init - time_step * dh2_dpos(mom)
 
         mom, fp_error = self._solve_fixed_point(fixed_point_func, mom_init)
         return state.replace(mom=mom).with_error_bit(

@@ -618,6 +618,24 @@ class RiemannianMetricSystem(System):
             self.metric(state).grad_quadratic_form_inv(state.mom),
         )
 
+    def dh2_dpos_fn(self, state):
+        """Return ``mom -> dh2_dpos`` at the state's (fixed) position.
+
+        The returned closure reuses a single evaluation of the metric VJP
+        residuals and the cached metric operator, so implicit integrators
+        can hoist the metric-function forward pass out of their fixed-point
+        solver loops (the compiled-world equivalent of the reference's
+        per-position VJP cache, mici/states.py:78-157 +
+        mici/systems.py:1339-1358).
+        """
+        vjp_metric = self.vjp_metric_func(state)
+        metric = self.metric(state)
+
+        def fn(mom):
+            return 0.5 * vjp_metric(metric.grad_quadratic_form_inv(mom))
+
+        return fn
+
     def dh2_dmom(self, state):
         return self.metric(state).inv @ state.mom
 
