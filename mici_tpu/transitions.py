@@ -633,7 +633,13 @@ class DynamicIntegrationTransition(IntegrationTransition):
             return (c["depth"] < self.max_tree_depth) & ~c["terminated"]
 
         def body(c):
-            key, key_dir, key_acc = jax.random.split(c["rng"], 3)
+            # Four-way split: the subtree build gets its own key so its
+            # internal per-leaf stream cannot collide with later loop keys
+            # (jax.random.split(k, m) outputs are prefixes of
+            # jax.random.split(k, n > m) outputs).
+            key, key_dir, key_acc, key_build = jax.random.split(
+                c["rng"], 4,
+            )
             direction = jnp.where(
                 jax.random.uniform(key_dir, dtype=dtype) < 0.5,
                 jnp.int32(1), jnp.int32(-1),
@@ -641,7 +647,9 @@ class DynamicIntegrationTransition(IntegrationTransition):
             edge = _where_tree(
                 direction == 1, c["pos_state"], c["neg_state"],
             ).replace(dir=direction)
-            sub = self._build_subtree(edge, c["depth"], aux_vars, key)
+            sub = self._build_subtree(
+                edge, c["depth"], aux_vars, key_build,
+            )
 
             flags = _error_flags(sub["error_bits"])
             diverging = c["diverging"] | sub["diverging"]
