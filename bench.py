@@ -21,8 +21,8 @@ import numpy as np
 
 N_CHAIN = 1024
 CHUNK = 16           # one compiled program is reused for warm-up and main
-N_WARM = 16
-N_MAIN = 96
+N_WARM = 32
+N_MAIN = 192
 STEP_SIZE = 0.2
 MAX_TREE_DEPTH = 5
 SOFTABS_COEFF = 1.0
