@@ -540,3 +540,49 @@ def test_fixed_point_solver_parity():
         j_func, jnp.asarray(x0))
     assert not bool(err_s)
     np.testing.assert_allclose(np.asarray(tpu_sol_s), ref_sol_s, atol=1e-9)
+
+
+@pytest.mark.parametrize("metric_name", ["identity", "diag"])
+def test_gaussian_euclidean_diag_metric_parity(metric_name):
+    """Gaussian-split h2 flow (eigen rotation) for identity/diagonal metrics."""
+    metric = None if metric_name == "identity" else METRICS["diag"]
+    ref_system = mici.systems.GaussianEuclideanMetricSystem(
+        np_nld, metric=None if metric is None else np.asarray(metric),
+        grad_neg_log_dens=np_grad_nld)
+    tpu_system = t_systems.GaussianEuclideanMetricSystem(
+        j_nld, metric=None if metric is None else jnp.asarray(metric))
+    ref_integ = mici.integrators.LeapfrogIntegrator(ref_system, STEP_SIZE)
+    tpu_integ = t_integrators.LeapfrogIntegrator(tpu_system, STEP_SIZE)
+    rng = np.random.default_rng(SEED + 11)
+    pos, mom = _roundtrip_states(rng)
+    ref_state = mici.states.ChainState(pos=pos.copy(), mom=mom.copy(), dir=1)
+    tpu_state = tpu_system.prepare_state(
+        ChainState(pos=pos.copy(), mom=mom.copy(), dir=1))
+    for _ in range(N_STEP):
+        ref_state = ref_integ.step(ref_state)
+        tpu_state = tpu_integ.step(tpu_state)
+    np.testing.assert_allclose(
+        np.asarray(tpu_state.pos), ref_state.pos, rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(tpu_state.mom), ref_state.mom, rtol=1e-8, atol=1e-9)
+
+
+def test_bcss_gaussian_split_parity():
+    """Symmetric composition over the Gaussian-split flows."""
+    ref_system = mici.systems.GaussianEuclideanMetricSystem(
+        np_nld, grad_neg_log_dens=np_grad_nld)
+    tpu_system = t_systems.GaussianEuclideanMetricSystem(j_nld)
+    ref_integ = mici.integrators.BCSSTwoStageIntegrator(
+        ref_system, STEP_SIZE)
+    tpu_integ = t_integrators.BCSSTwoStageIntegrator(
+        tpu_system, STEP_SIZE)
+    rng = np.random.default_rng(SEED + 12)
+    pos, mom = _roundtrip_states(rng)
+    ref_state = mici.states.ChainState(pos=pos.copy(), mom=mom.copy(), dir=1)
+    tpu_state = tpu_system.prepare_state(
+        ChainState(pos=pos.copy(), mom=mom.copy(), dir=1))
+    for _ in range(N_STEP):
+        ref_state = ref_integ.step(ref_state)
+        tpu_state = tpu_integ.step(tpu_state)
+    np.testing.assert_allclose(
+        np.asarray(tpu_state.pos), ref_state.pos, rtol=1e-8, atol=1e-9)
