@@ -288,3 +288,25 @@ def test_progress_bar_display(capsys):
     )
     captured = capsys.readouterr()
     assert "%" in captured.err or "Sampling stage" in captured.err
+
+
+def test_trace_warm_up_with_windowed_stager():
+    """Multi-stage warm-up tracing: stage offsets must tile the trace
+    arrays exactly (no gaps/overlaps)."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    n_warm, n_main = 100, 30
+    out = sampler.sample_chains(
+        n_warm, n_main, _init_states(), trace_warm_up=True,
+        adapters=[_DA, _VAR],
+        stager=stagers.WindowedWarmUpStager(),
+        display_progress=False,
+    )
+    assert out.traces["pos"].shape == (N_CHAIN, n_warm + n_main, DIM)
+    # every iteration must have been written (buffers initialized to NaN)
+    assert not np.any(np.isnan(out.traces["pos"]))
+    assert not np.any(np.isnan(out.traces["hamiltonian"]))
+    assert out.statistics["accept_stat"].shape == (
+        N_CHAIN, n_warm + n_main)
+    assert not np.any(np.isnan(out.statistics["accept_stat"]))
