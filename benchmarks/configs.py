@@ -151,12 +151,10 @@ def config_4_constrained_torus(n_chain=128, seed=0):
     system = systems.DenseConstrainedEuclideanMetricSystem(
         neg_log_dens, constr, dens_wrt_hausdorff=True,
     )
+    # tolerances default to dtype-aware values (f64: reference defaults;
+    # f32: rescaled just above the f32 residual floor)
     integrator = integrators.ConstrainedLeapfrogIntegrator(
         system, step_size=0.15, n_inner_step=2,
-        projection_solver_kwargs={
-            "constraint_tol": 1e-7, "position_tol": 1e-6,
-        },
-        reverse_check_tol=1e-4,
     )
     sampler = samplers.DynamicMultinomialHMC(
         system, integrator, seed, max_tree_depth=5,
