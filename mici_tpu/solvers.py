@@ -17,21 +17,27 @@ from jax import lax
 from mici_tpu import errors
 
 
+#: Multiplier applied to the reference's f64 tolerances when running in
+#: f32: 1e-9 -> 1e-6 (constraint/fixed-point), 1e-8 -> 1e-5 (position),
+#: 2e-8 -> 2e-5 (reversibility).  These sit just above the f32 residual
+#: floor for O(1)-scaled problems (f32 eps ~ 1.2e-7); measured on the
+#: torus benchmark they give ~0% solver-failure rates where the raw f64
+#: values give >60%.
+_F32_TOL_FACTOR = 1e3
+
+
 def default_tol(dtype, f64_value):
     """Dtype-aware tolerance: the reference (f64) value, rescaled for f32.
 
     The reference's solver/reversibility tolerances (e.g. ``1e-9``,
     mici/solvers.py:50) assume double precision; on TPU the default
     compute dtype is float32 whose error floor makes those unattainable.
-    Tolerances passed as ``None`` resolve through this map: the f64 value
-    is kept in f64, and scaled by the ratio of machine epsilons raised to
-    the 0.75 power in f32 (e.g. 1e-9 -> ~2.6e-5).
+    Tolerances passed as ``None`` resolve through this map.
     """
     f64_value = float(f64_value)
     if jnp.finfo(dtype).bits >= 64:
         return f64_value
-    eps_ratio = jnp.finfo(jnp.float32).eps / jnp.finfo(jnp.float64).eps
-    return f64_value * float(eps_ratio) ** 0.75
+    return f64_value * _F32_TOL_FACTOR
 
 
 def _resolve_tol(tol, dtype, f64_value):
