@@ -310,3 +310,42 @@ def test_trace_warm_up_with_windowed_stager():
     assert out.statistics["accept_stat"].shape == (
         N_CHAIN, n_warm + n_main)
     assert not np.any(np.isnan(out.statistics["accept_stat"]))
+
+
+def test_generic_method_with_three_transitions():
+    """Generic MCMC with momentum refresh + two different integration
+    kernels per iteration (exercises arbitrary transition dicts, as the
+    reference's MarkovChainMonteCarloMethod allows)."""
+    from mici_tpu import transitions as trans_mod
+
+    system, _ = _make_system()
+    integ_a = integrators.LeapfrogIntegrator(system, 0.4)
+    integ_b = integrators.BCSSTwoStageIntegrator(system, 0.6)
+    method = samplers.MarkovChainMonteCarloMethod(SEED, {
+        "momentum": trans_mod.IndependentMomentumTransition(system),
+        "hmc_short": trans_mod.MetropolisStaticIntegrationTransition(
+            system, integ_a, 3),
+        "hmc_long": trans_mod.MetropolisStaticIntegrationTransition(
+            system, integ_b, 7),
+    })
+    init_states = [
+        ChainState(pos=np.zeros(DIM), mom=np.ones(DIM), dir=1)
+        for _ in range(2)
+    ]
+    out = method.sample_chains(
+        0, 40, init_states,
+        trace_funcs=[lambda s: {"pos": s.pos}],
+        display_progress=False,
+    )
+    assert out.traces["pos"].shape == (2, 40, DIM)
+    assert not np.any(np.isnan(out.traces["pos"]))
+    # statistics recorded independently per integration transition
+    assert set(out.statistics) == {"hmc_short", "hmc_long"}
+    for key in ["hmc_short", "hmc_long"]:
+        acc = out.statistics[key]["accept_stat"]
+        assert acc.shape == (2, 40)
+        assert np.nanmean(acc) > 0.3
+    n_short = out.statistics["hmc_short"]["n_step"]
+    n_long = out.statistics["hmc_long"]["n_step"]
+    assert np.all(n_short == 3)
+    assert np.all(n_long == 7)
