@@ -139,8 +139,92 @@ def _batched_tril_solve_lanes(tril_lanes, rhs_lanes, block=_BATCH_BLOCK,
     return out[..., :b]
 
 
+def _transpose(m):
+    return jnp.swapaxes(m, -2, -1)
+
+
+def _phi(m):
+    """Lower triangle of ``m`` with the diagonal halved (batched)."""
+    n = m.shape[-1]
+    diag = jnp.diagonal(m, axis1=-2, axis2=-1)
+    return jnp.tril(m) - 0.5 * jnp.eye(n, dtype=m.dtype) * diag[..., None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _cholesky_diff(mats, block, interpret):
+    lanes = jnp.moveaxis(mats, 0, -1)  # (N, N, B)
+    out = _batched_cholesky_lanes(lanes, block=block, interpret=interpret)
+    return jnp.moveaxis(out, -1, 0)
+
+
+def _cholesky_fwd(mats, block, interpret):
+    factor = _cholesky_diff(mats, block, interpret)
+    return factor, factor
+
+
+def _cholesky_bwd(block, interpret, factor, factor_bar):
+    # Reverse-mode Cholesky differential: with sigma_bar =
+    # L^{-T} phi(L^T L_bar) L^{-1}, the adjoint with respect to a matrix
+    # whose *lower triangle only* is read (the kernel's semantics) is
+    # tril(sigma_bar + sigma_bar^T) with the diagonal counted once.
+    p = _phi(jnp.matmul(_transpose(factor), factor_bar))
+    w = jax.lax.linalg.triangular_solve(
+        factor, p, left_side=True, lower=True, transpose_a=True,
+    )
+    sigma_bar = jax.lax.linalg.triangular_solve(
+        factor, w, left_side=False, lower=True,
+    )
+    n = factor.shape[-1]
+    diag = jnp.diagonal(sigma_bar, axis1=-2, axis2=-1)
+    a_bar = (
+        jnp.tril(sigma_bar + _transpose(sigma_bar))
+        - jnp.eye(n, dtype=factor.dtype) * diag[..., None]
+    )
+    return (a_bar,)
+
+
+_cholesky_diff.defvjp(_cholesky_fwd, _cholesky_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _tril_solve_diff(tril, rhs, block, interpret):
+    tril_lanes = jnp.moveaxis(tril, 0, -1)
+    rhs_lanes = jnp.moveaxis(rhs, 0, -1)
+    out = _batched_tril_solve_lanes(
+        tril_lanes, rhs_lanes, block=block, interpret=interpret,
+    )
+    return jnp.moveaxis(out, -1, 0)
+
+
+def _tril_solve_fwd(tril, rhs, block, interpret):
+    sol = _tril_solve_diff(tril, rhs, block, interpret)
+    return sol, (tril, sol)
+
+
+def _tril_solve_bwd(block, interpret, res, sol_bar):
+    # x = L^{-1} b: rhs_bar = L^{-T} x_bar, L_bar = -tril(rhs_bar x^T)
+    # (upper entries of L are never read by the kernel, so their adjoint
+    # is zero).
+    tril, sol = res
+    rhs_bar = jax.lax.linalg.triangular_solve(
+        tril, sol_bar[..., None], left_side=True, lower=True,
+        transpose_a=True,
+    )[..., 0]
+    tril_bar = -jnp.tril(rhs_bar[..., :, None] * sol[..., None, :])
+    return tril_bar, rhs_bar
+
+
+_tril_solve_diff.defvjp(_tril_solve_fwd, _tril_solve_bwd)
+
+
 def batched_cholesky(mats, *, block=_BATCH_BLOCK, interpret=None):
     """Cholesky factors of a batch of SPD matrices, batch-in-lanes kernel.
+
+    Reverse-mode differentiable via a closed-form adjoint (batched MXU
+    matmuls + XLA triangular solves); forward-mode (jvp) is not defined.
+    Only the lower triangle of each input matrix is read, matching
+    ``jnp.linalg.cholesky`` semantics — the gradient is supported on the
+    lower triangle accordingly.
 
     Args:
         mats: Array of shape (B, N, N) of symmetric positive definite
@@ -154,13 +238,14 @@ def batched_cholesky(mats, *, block=_BATCH_BLOCK, interpret=None):
     """
     if interpret is None:
         interpret = not _on_tpu()
-    lanes = jnp.moveaxis(mats, 0, -1)  # (N, N, B)
-    out = _batched_cholesky_lanes(lanes, block=block, interpret=interpret)
-    return jnp.moveaxis(out, -1, 0)
+    return _cholesky_diff(mats, block, interpret)
 
 
 def batched_tril_solve(tril, rhs, *, block=_BATCH_BLOCK, interpret=None):
     """Solve ``L x = b`` for a batch of lower-triangular systems.
+
+    Reverse-mode differentiable (closed-form adjoint); forward-mode (jvp)
+    is not defined.  Only the lower triangle of ``tril`` is read.
 
     Args:
         tril: Array (B, N, N) of lower-triangular matrices.
@@ -173,12 +258,7 @@ def batched_tril_solve(tril, rhs, *, block=_BATCH_BLOCK, interpret=None):
     """
     if interpret is None:
         interpret = not _on_tpu()
-    tril_lanes = jnp.moveaxis(tril, 0, -1)
-    rhs_lanes = jnp.moveaxis(rhs, 0, -1)
-    out = _batched_tril_solve_lanes(
-        tril_lanes, rhs_lanes, block=block, interpret=interpret,
-    )
-    return jnp.moveaxis(out, -1, 0)
+    return _tril_solve_diff(tril, rhs, block, interpret)
 
 
 # Measured on TPU v5 lite (f32, mean over 50 calls, 2026-08-16):

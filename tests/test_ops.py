@@ -5,6 +5,7 @@ performance comparison versus XLA runs on real TPU via
 ``scratch``-level benchmarks.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -40,6 +41,68 @@ def test_batched_tril_solve(b, n):
         np.linalg.solve(tril[i], rhs[i]) for i in range(b)
     ])
     np.testing.assert_allclose(out, ref, atol=1e-9)
+
+
+@pytest.mark.parametrize("b,n", [(8, 4), (40, 8)])
+def test_batched_cholesky_grad(b, n):
+    """Custom VJP matches autodiff through an explicit lower-read oracle.
+
+    The oracle symmetrizes from the lower triangle before calling
+    ``jnp.linalg.cholesky``, making the composite's gradient unique and
+    convention-free; the input carries an asymmetric perturbation so the
+    lower-triangle-support convention is actually exercised.
+    """
+    rng = np.random.default_rng(SEED + 3)
+    a = rng.standard_normal((b, n, n))
+    mats = np.einsum("bij,bkj->bik", a, a) + n * np.eye(n)
+    mats = mats + 0.1 * rng.standard_normal((b, n, n))  # asymmetric
+    weights = jnp.asarray(rng.standard_normal((b, n, n)))
+
+    def loss_kernel(m):
+        return jnp.sum(weights * jnp.sin(batched_cholesky(m, block=128)))
+
+    def loss_oracle(m):
+        sym = jnp.tril(m) + jnp.swapaxes(jnp.tril(m, -1), -2, -1)
+        return jnp.sum(weights * jnp.sin(jnp.linalg.cholesky(sym)))
+
+    m = jnp.asarray(mats)
+    np.testing.assert_allclose(loss_kernel(m), loss_oracle(m), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_kernel)(m)),
+        np.asarray(jax.grad(loss_oracle)(m)),
+        atol=1e-9,
+    )
+
+
+@pytest.mark.parametrize("b,n", [(8, 4), (40, 8)])
+def test_batched_tril_solve_grad(b, n):
+    rng = np.random.default_rng(SEED + 4)
+    a = rng.standard_normal((b, n, n))
+    mats = np.einsum("bij,bkj->bik", a, a) + n * np.eye(n)
+    tril = jnp.asarray(
+        np.linalg.cholesky(mats) + 0.1 * rng.standard_normal((b, n, n)))
+    rhs = jnp.asarray(rng.standard_normal((b, n)))
+    weights = jnp.asarray(rng.standard_normal((b, n)))
+
+    def loss_kernel(l, r):
+        return jnp.sum(weights * jnp.tanh(batched_tril_solve(
+            l, r, block=128)))
+
+    def loss_oracle(l, r):
+        sol = jax.lax.linalg.triangular_solve(
+            jnp.tril(l), r[..., None], left_side=True, lower=True,
+        )[..., 0]
+        return jnp.sum(weights * jnp.tanh(sol))
+
+    np.testing.assert_allclose(
+        loss_kernel(tril, rhs), loss_oracle(tril, rhs), rtol=1e-10)
+    for argnum in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_kernel, argnum)(tril, rhs)),
+            np.asarray(jax.grad(loss_oracle, argnum)(tril, rhs)),
+            atol=1e-9,
+            err_msg=f"argnum={argnum}",
+        )
 
 
 def test_cholesky_solve_roundtrip():
