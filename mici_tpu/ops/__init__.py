@@ -16,5 +16,7 @@ mode via the ``interpret`` flag).
 
 from mici_tpu.ops.batched_linalg import (  # noqa: F401
     batched_cholesky,
+    batched_cholesky_solve,
     batched_tril_solve,
+    batched_tril_transpose_solve,
 )
