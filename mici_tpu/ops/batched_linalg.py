@@ -355,3 +355,8 @@ def batched_cholesky_solve(tril, rhs, *, block=_BATCH_BLOCK,
 #     B=1024 N=64: 1.31 ms vs 7.97 ms   (6.1x)
 #     B=4096 N=32: 1.07 ms vs 14.95 ms  (14.0x)
 #   batched_tril_solve is within ~30% of XLA's solve_triangular either way.
+#   batched_cholesky_solve vs jax.scipy.linalg.cho_solve (two launches vs
+#   XLA's fused pair, so it only wins once the batch amortizes them):
+#     B=1024 N=16: 1.70 ms vs 1.10 ms  (0.6x)
+#     B=1024 N=32: 1.27 ms vs 1.21 ms  (1.0x)
+#     B=4096 N=32: 0.80 ms vs 1.22 ms  (1.5x)
