@@ -169,11 +169,20 @@ def register_backend(name: str, ops: dict) -> None:
     BACKENDS[name] = ops
 
 
-def wrap_function(function, backend=None):  # noqa: ARG001
+def wrap_function(function, backend=None):
     """Apply function wrappers for a backend (identity for JAX backends).
 
-    Reference: mici/autodiff/__init__.py:108-128.
+    Reference: mici/autodiff/__init__.py:108-128.  The reference applies
+    backend-specific wrappers (jit + array conversion); execution here is
+    natively JAX so registered backends need no wrapping, but an
+    unregistered backend name is still an error as in the reference.
     """
+    if backend not in BACKENDS:
+        msg = (
+            f"Automatic differentiation backend {backend!r} is not "
+            f"registered (available: {sorted(k for k in BACKENDS if k)!r})."
+        )
+        raise ValueError(msg)
     return function
 
 

@@ -138,3 +138,13 @@ def test_register_backend(q):
     np.testing.assert_allclose(grad, grad_quartic(q), rtol=1e-10)
     with pytest.raises(ValueError):
         autodiff.register_backend("incomplete", {"grad_and_value": None})
+
+
+def test_wrap_function_unknown_backend():
+    with pytest.raises(ValueError, match="not.*registered"):
+        autodiff.wrap_function(f_quartic, backend="not_a_backend")
+
+
+def test_wrap_function_registered_backends_identity():
+    for backend in (None, "jax", "jax_nojit"):
+        assert autodiff.wrap_function(f_quartic, backend) is f_quartic
