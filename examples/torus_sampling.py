@@ -10,6 +10,12 @@ the multiprocessing pool) — scale ``n_chain`` to thousands on a TPU chip.
 Run: python examples/torus_sampling.py
 """
 
+import pathlib
+import sys
+
+# allow running from a source checkout without installing the package
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,12 +72,10 @@ def main(n_chain=8, n_warm_up_iter=200, n_main_iter=500):
         constr=constr,
         seed=1234,
         trace_funcs=[trace_func],
-        integrator_kwargs={
-            "reverse_check_tol": 1e-5,
-            "projection_solver_kwargs": {
-                "constraint_tol": 1e-9, "position_tol": 1e-8,
-            },
-        },
+        # solver / reversibility tolerances default to dtype-aware values
+        # (f64: the reference defaults; f32 on TPU: rescaled just above the
+        # f32 residual floor) — hardcoding f64-grade tolerances here would
+        # make every projection "fail" in f32 and collapse the step size
         sampler_kwargs={"max_tree_depth": 6},
     )
 
