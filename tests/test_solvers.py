@@ -113,3 +113,19 @@ def test_norms():
     v = jnp.asarray([-3.0, 4.0])
     np.testing.assert_allclose(solvers.maximum_norm(v), 4.0)
     np.testing.assert_allclose(solvers.euclidean_norm(v), 5.0)
+
+
+def test_default_tol_dtype_aware():
+    # f64 (and wider) keeps the reference value exactly
+    assert solvers.default_tol(jnp.float64, 1e-9) == 1e-9
+    assert solvers.default_tol(np.float64, 2e-8) == 2e-8
+    # f32 (and narrower) rescales above the f32 residual floor
+    assert solvers.default_tol(jnp.float32, 1e-9) == pytest.approx(1e-6)
+    assert solvers.default_tol(jnp.bfloat16, 1e-8) == pytest.approx(1e-5)
+
+
+def test_resolve_tol_explicit_value_wins():
+    assert solvers._resolve_tol(3e-4, jnp.float32, 1e-9) == 3e-4
+    assert solvers._resolve_tol(None, jnp.float32, 1e-9) == pytest.approx(
+        1e-6)
+    assert solvers._resolve_tol(None, jnp.float64, 1e-9) == 1e-9
