@@ -97,3 +97,37 @@ def test_sample_constrained_hmc_chains_gaussian_system():
         sampler_kwargs={"max_tree_depth": 3},
     )
     assert out.traces["pos"].shape == (1, 4, 2)
+
+
+def test_sample_constrained_hmc_chains_float32_default_tols():
+    """f32 inputs must resolve dtype-aware solver/reversibility tolerances.
+
+    Regression guard for the failure mode where f64-grade tolerances in
+    float32 make every projection "fail", collapsing the chain: with the
+    dtype-aware defaults the error fractions stay near zero and samples
+    stay on the manifold at the f32 residual floor.
+    """
+    rng = np.random.default_rng(SEED + 9)
+    thetas = rng.uniform(0, 2 * np.pi, 4)
+    init = np.stack(
+        [np.cos(thetas), np.sin(thetas)], axis=1).astype(np.float32)
+    # 25 warm-up iterations: enough for dual averaging to settle (at ~5
+    # the step is still too coarse and fails equally in f64)
+    out = mici_tpu.sample_constrained_hmc_chains(
+        25, 10, init,
+        lambda q: 0.5 * jnp.sum(q**2),
+        lambda q: jnp.array([jnp.sum(q**2) - 1.0]),
+        seed=SEED, display_progress=False,
+        sampler_kwargs={"max_tree_depth": 3},
+    )
+    pos = np.asarray(out.traces["pos"])
+    assert pos.dtype == np.float32
+    radii = np.linalg.norm(pos, axis=-1)
+    np.testing.assert_allclose(radii, 1.0, atol=1e-4)
+    # the failure mode being guarded is catastrophic (f64-grade tolerances
+    # in f32 flag essentially every step and collapse the adapted step
+    # size); fractions are noisy at 4 chains x 10 iterations, so bound
+    # them loosely rather than at their typical ~0.05 values
+    assert np.mean(out.statistics["convergence_error"]) < 0.5
+    assert np.mean(out.statistics["non_reversible_step"]) < 0.5
+    assert np.nanmean(out.statistics["accept_stat"]) > 0.5
