@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsla
 import numpy as np
 
+from mici_tpu.ops import dispatch as _dispatch
 from mici_tpu.utils import hash_array
 
 
@@ -794,19 +795,23 @@ class InverseTriangularMatrix(InvertibleMatrix, ImplicitArrayMatrix):
         )
 
     def _left_matrix_multiply(self, other):
-        vector = other.ndim == 1
-        rhs = other[:, None] if vector else other
-        result = jsla.solve_triangular(self._inverse_array, rhs,
-                                       lower=self.lower)
-        return result[:, 0] if vector else result
+        if other.ndim == 1:
+            # Vector solves are the per-chain hot path (momentum matvecs):
+            # dispatch so vmapped chain batches hit the Pallas lane kernels.
+            return _dispatch.solve_triangular_vec(
+                self._inverse_array, other, lower=self.lower,
+            )
+        return jsla.solve_triangular(self._inverse_array, other,
+                                     lower=self.lower)
 
     def _right_matrix_multiply(self, other):
-        vector = other.ndim == 1
-        rhs = other[None, :] if vector else other
-        result = jsla.solve_triangular(
-            self._inverse_array, rhs.T, lower=self.lower, trans=1,
+        if other.ndim == 1:
+            return _dispatch.solve_triangular_vec(
+                self._inverse_array, other, lower=self.lower, trans=True,
+            )
+        return jsla.solve_triangular(
+            self._inverse_array, other.T, lower=self.lower, trans=1,
         ).T
-        return result[0] if vector else result
 
 
 # ---------------------------------------------------------------------------
@@ -968,8 +973,11 @@ class DenseDefiniteMatrix(DifferentiableMatrix,
 
     @property
     def factor(self):
+        # Dispatched Cholesky: vmapped chain batches (position-dependent
+        # metrics, Gram matrices) route to the batch-in-lanes Pallas
+        # kernel on TPU.  Reference hot path: mici/matrices.py:1163-1173.
         return TriangularMatrix(
-            jnp.linalg.cholesky(self._sign * self._array),
+            _dispatch.cholesky(self._sign * self._array),
             lower=True, make_triangular=False,
         )
 
@@ -2032,7 +2040,7 @@ class PositiveDefiniteLowRankUpdateMatrix(DifferentiableMatrix,
         w_matrix = self.pos_def_matrix.sqrt
         k_matrix = self.inner_pos_def_matrix
         u_array = w_matrix.inv @ self.factor_matrix.array
-        l_array = jnp.linalg.cholesky(u_array.T @ u_array)
+        l_array = _dispatch.cholesky(u_array.T @ u_array)
         l_matrix = TriangularMatrix(l_array, lower=True,
                                     make_triangular=False)
         dim_inner = u_array.shape[1]

@@ -20,3 +20,8 @@ from mici_tpu.ops.batched_linalg import (  # noqa: F401
     batched_tril_solve,
     batched_tril_transpose_solve,
 )
+from mici_tpu.ops.dispatch import (  # noqa: F401
+    cholesky,
+    force_dispatch,
+    solve_triangular_vec,
+)

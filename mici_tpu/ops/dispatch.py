@@ -1,0 +1,262 @@
+"""Batch-aware dispatch of small-matrix linalg onto the Pallas kernels.
+
+The structured-matrix layer (``mici_tpu.matrices``) is written per chain —
+a metric is one ``(n, n)`` array — and the samplers batch chains with
+``vmap``.  XLA's batched ``cholesky``/``triangular_solve`` parallelize
+*within* one matrix, which is useless at n = O(32); the batch-in-lanes
+Pallas kernels in :mod:`mici_tpu.ops.batched_linalg` are up to 14x faster
+at 1024+ chains (measured table at the bottom of that module).
+
+This module provides drop-in replacements for ``jnp.linalg.cholesky`` and
+vector-RHS ``solve_triangular`` that route to the Pallas kernels when the
+(vmapped or explicit) batch is large enough and the platform is TPU, and
+to stock XLA otherwise.  Mechanism:
+
+- ``jax.custom_batching.custom_vmap`` exposes the chain-batch dimension
+  that ``vmap`` normally hides from library code, so the per-chain call
+  sites in ``matrices.py`` (reference hot path:
+  mici/matrices.py:1163-1173) dispatch on the *batched* shape;
+- ``custom_vmap`` does not support reverse-mode AD, so each dispatched op
+  is wrapped in an outer ``jax.custom_vjp`` with the closed-form adjoint
+  (verified against the native XLA gradients).  Forward-mode (jvp) is not
+  defined, matching the kernels.
+
+Dispatch conditions (auto mode): TPU platform, float32, batch >=
+``_MIN_KERNEL_BATCH``, matrix size <= ``_MAX_KERNEL_N``.  Tests force the
+kernel path on CPU (Pallas interpreter) via :func:`force_dispatch`.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
+
+from mici_tpu.ops import batched_linalg as _bl
+
+# Below ~256 chains the kernel's launch + layout transposes are not
+# amortized over XLA's batched kernels; above 128 rows a block of
+# matrices no longer tiles comfortably into VMEM lanes.
+_MIN_KERNEL_BATCH = 256
+_MAX_KERNEL_N = 128
+
+_FORCE_MODE = None  # None (auto) | "kernel" | "xla"
+
+
+@contextlib.contextmanager
+def force_dispatch(mode):
+    """Force the dispatch decision: ``"kernel"``, ``"xla"`` or ``None``.
+
+    Trace-time only — takes effect for code traced inside the context.
+    Used by tests to exercise the kernel path on CPU (Pallas interpreter
+    mode) and by benchmarks for A/B comparisons.
+    """
+    global _FORCE_MODE
+    if mode not in (None, "kernel", "xla"):
+        raise ValueError(f"invalid dispatch mode: {mode!r}")
+    previous = _FORCE_MODE
+    _FORCE_MODE = mode
+    try:
+        yield
+    finally:
+        _FORCE_MODE = previous
+
+
+def _use_kernel(batch, n, dtype):
+    if _FORCE_MODE == "kernel":
+        return True
+    if _FORCE_MODE == "xla":
+        return False
+    return (
+        _bl._on_tpu()
+        and dtype == jnp.float32
+        and batch >= _MIN_KERNEL_BATCH
+        and n <= _MAX_KERNEL_N
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cholesky
+# ---------------------------------------------------------------------------
+
+
+def _interpret_flag():
+    # Compiled on TPU; interpreter elsewhere (tests forcing the kernel
+    # path on CPU).
+    return None if _bl._on_tpu() else True
+
+
+def _chol_impl(a):
+    if a.ndim > 2:
+        batch = math.prod(a.shape[:-2])
+        if _use_kernel(batch, a.shape[-1], a.dtype):
+            flat = a.reshape((-1,) + a.shape[-2:])
+            out = _bl.batched_cholesky(flat, interpret=_interpret_flag())
+            return out.reshape(a.shape)
+    return jnp.linalg.cholesky(a)
+
+
+@custom_vmap
+def _chol_cv(a):
+    return _chol_impl(a)
+
+
+@_chol_cv.def_vmap
+def _chol_vmap_rule(axis_size, in_batched, a):
+    (a_batched,) = in_batched
+    return _chol_impl(a), a_batched
+
+
+@jax.custom_vjp
+def cholesky(a):
+    """Drop-in ``jnp.linalg.cholesky`` with batch dispatch to Pallas.
+
+    Reads the lower triangle only; reverse-mode differentiable with the
+    same symmetrized adjoint convention as XLA's native Cholesky (the two
+    paths produce identical gradients).  Forward-mode is not defined.
+    """
+    return _chol_cv(a)
+
+
+def _chol_fwd(a):
+    factor = _chol_cv(a)
+    return factor, factor
+
+
+def _chol_phi(m):
+    diag = jnp.diagonal(m, axis1=-2, axis2=-1)
+    eye = jnp.eye(m.shape[-1], dtype=m.dtype)
+    return jnp.tril(m) - 0.5 * eye * diag[..., None]
+
+
+def _chol_bwd(factor, factor_bar):
+    # sigma_bar = L^{-T} phi(L^T L_bar) L^{-1}, symmetrized — identical to
+    # XLA's native cholesky adjoint (verified to 0 ulp in f64).
+    p = _chol_phi(jnp.matmul(jnp.swapaxes(factor, -2, -1), factor_bar))
+    w = jax.lax.linalg.triangular_solve(
+        factor, p, left_side=True, lower=True, transpose_a=True,
+    )
+    sigma_bar = jax.lax.linalg.triangular_solve(
+        factor, w, left_side=False, lower=True,
+    )
+    return ((sigma_bar + jnp.swapaxes(sigma_bar, -2, -1)) / 2,)
+
+
+cholesky.defvjp(_chol_fwd, _chol_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Vector-RHS triangular solve
+# ---------------------------------------------------------------------------
+
+
+def _xla_tri_solve_vec(a, b, lower, trans):
+    # a (..., N, N) or (N, N) broadcast against b (..., N);
+    # lax.linalg.triangular_solve requires equal batch ranks.
+    if a.ndim - 1 != b.ndim:
+        a = jnp.broadcast_to(a, b.shape[:-1] + a.shape[-2:])
+    out = jax.lax.linalg.triangular_solve(
+        a, b[..., None], left_side=True, lower=lower, transpose_a=trans,
+    )
+    return out[..., 0]
+
+
+def _tri_solve_impl(a, b, lower, trans):
+    if a.ndim > 2 and a.shape[:-2] == b.shape[:-1]:
+        batch = math.prod(a.shape[:-2])
+        if _use_kernel(batch, a.shape[-1], a.dtype):
+            af = a.reshape((-1,) + a.shape[-2:])
+            bf = b.reshape((-1, b.shape[-1]))
+            interpret = _interpret_flag()
+            if not lower:
+                # An upper-triangular system is the transposed-solve of
+                # its transpose: U x = b  <=>  (U^T)^T x = b.
+                af = jnp.swapaxes(af, -2, -1)
+                trans = not trans
+            if trans:
+                out = _bl.batched_tril_transpose_solve(
+                    af, bf, interpret=interpret,
+                )
+            else:
+                out = _bl.batched_tril_solve(af, bf, interpret=interpret)
+            return out.reshape(b.shape)
+    return _xla_tri_solve_vec(a, b, lower, trans)
+
+
+@functools.cache
+def _tri_solve_vec(lower: bool, trans: bool):
+    """custom_vjp(custom_vmap(...)) vector triangular solve for one
+    static (lower, trans) combination."""
+
+    def impl(a, b):
+        return _tri_solve_impl(a, b, lower, trans)
+
+    cv = custom_vmap(impl)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, a, b):  # noqa: ANN001
+        a_batched, b_batched = in_batched
+        if not (a_batched or b_batched):
+            return impl(a, b), False
+        if not a_batched:
+            # Constant matrix across the batch: XLA broadcasts the solve
+            # without materializing per-chain copies.
+            return _xla_tri_solve_vec(a, b, lower, trans), True
+        if not b_batched:
+            b = jnp.broadcast_to(b, a.shape[:-2] + b.shape)
+        return impl(a, b), True
+
+    @jax.custom_vjp
+    def solve(a, b):
+        return cv(a, b)
+
+    def _fwd(a, b):
+        x = cv(a, b)
+        return x, (a, x)
+
+    def _bwd(res, x_bar):
+        a, x = res
+        # x = op(a)^{-1} b with op = transpose if trans else identity:
+        #   b_bar = op(a)^{-T} x_bar  (the flipped-trans solve, which
+        #   itself dispatches to the kernels when batched)
+        #   op(a)_bar = -outer(b_bar, x), masked to the read triangle.
+        b_bar = _tri_solve_vec(lower, not trans)(a, x_bar)
+        if trans:
+            a_bar = -x[..., :, None] * b_bar[..., None, :]
+        else:
+            a_bar = -b_bar[..., :, None] * x[..., None, :]
+        a_bar = jnp.tril(a_bar) if lower else jnp.triu(a_bar)
+        if a_bar.ndim > x.ndim + 1:
+            # b was broadcast against extra leading batch dims of a.
+            n_extra = a_bar.ndim - 1 - x.ndim
+            b_bar = jnp.sum(b_bar, axis=tuple(range(n_extra)))
+        return a_bar, b_bar
+
+    solve.defvjp(_fwd, _bwd)
+    return solve
+
+
+def solve_triangular_vec(a, b, *, lower=True, trans=False):
+    """Solve a (batch of) triangular system(s) with vector right-hand
+    sides, dispatching large f32 TPU batches to the Pallas lane kernels.
+
+    Drop-in for ``jax.scipy.linalg.solve_triangular`` restricted to
+    1-D right-hand sides per system: under ``vmap`` over chains the call
+    sees the whole chain batch (via ``custom_vmap``) and routes it to
+    :func:`mici_tpu.ops.batched_tril_solve` /
+    :func:`~mici_tpu.ops.batched_tril_transpose_solve`.
+
+    Args:
+        a: Triangular matrix, shape (..., N, N).
+        b: Right-hand side vector(s), shape (..., N).
+        lower: Whether ``a`` is lower (True) or upper (False) triangular.
+        trans: Solve ``a.T x = b`` instead of ``a x = b``.
+
+    Returns:
+        Solutions, shape (..., N).
+    """
+    return _tri_solve_vec(bool(lower), bool(trans))(a, b)

@@ -1,0 +1,236 @@
+"""Tests for the batch-aware Pallas dispatch layer (mici_tpu.ops.dispatch).
+
+The kernel path is forced on the CPU test backend (Pallas interpreter mode)
+via ``ops.force_dispatch("kernel")`` and checked A/B against the XLA path
+on identical inputs — both for the raw dispatched ops and end-to-end
+through the vmapped dense-metric sampler hot path the dispatch exists for
+(reference hot path: mici/matrices.py:1163-1173).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mici_tpu import integrators, matrices, ops, systems
+from mici_tpu.ops import dispatch
+from mici_tpu.states import ChainState
+
+SEED = 20260816
+DIM = 6
+BATCH = 8
+
+
+def _spd_batch(b, n, seed=SEED):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((b, n, n))
+    return np.einsum("bij,bkj->bik", a, a) + n * np.eye(n)
+
+
+def test_cholesky_unbatched_matches_xla():
+    spd = _spd_batch(1, DIM)[0]
+    out = dispatch.cholesky(jnp.asarray(spd))
+    np.testing.assert_allclose(out, np.linalg.cholesky(spd), atol=1e-10)
+
+
+def test_cholesky_gradient_matches_native():
+    spd = jnp.asarray(_spd_batch(1, DIM)[0])
+    w = jnp.arange(1.0, DIM * DIM + 1).reshape(DIM, DIM)
+    g = jax.grad(lambda m: jnp.sum(dispatch.cholesky(m) ** 2 * w))(spd)
+    g_ref = jax.grad(lambda m: jnp.sum(jnp.linalg.cholesky(m) ** 2 * w))(spd)
+    np.testing.assert_allclose(g, g_ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["kernel", "xla"])
+def test_cholesky_vmapped(mode):
+    spds = jnp.asarray(_spd_batch(BATCH, DIM))
+    with ops.force_dispatch(mode):
+        out = jax.vmap(dispatch.cholesky)(spds)
+    np.testing.assert_allclose(out, np.linalg.cholesky(spds), atol=1e-9)
+
+
+def test_cholesky_vmapped_grad_kernel_matches_xla():
+    spds = jnp.asarray(_spd_batch(BATCH, DIM))
+    w = jnp.arange(1.0, DIM * DIM + 1).reshape(DIM, DIM)
+
+    def loss(m):
+        return jnp.sum(dispatch.cholesky(m) ** 2 * w)
+
+    with ops.force_dispatch("kernel"):
+        gk = jax.vmap(jax.grad(loss))(spds)
+    with ops.force_dispatch("xla"):
+        gx = jax.vmap(jax.grad(loss))(spds)
+    np.testing.assert_allclose(gk, gx, atol=1e-9)
+
+
+def test_cholesky_explicit_batch_dispatch():
+    """Explicitly batched (B, N, N) input also routes through dispatch."""
+    spds = jnp.asarray(_spd_batch(BATCH, DIM))
+    with ops.force_dispatch("kernel"):
+        out = dispatch.cholesky(spds)
+    np.testing.assert_allclose(out, np.linalg.cholesky(spds), atol=1e-9)
+
+
+@pytest.mark.parametrize("lower", [True, False])
+@pytest.mark.parametrize("trans", [True, False])
+@pytest.mark.parametrize("mode", ["kernel", "xla"])
+def test_solve_triangular_vec_combinations(lower, trans, mode):
+    tril = np.linalg.cholesky(_spd_batch(BATCH, DIM))
+    tri = tril if lower else np.swapaxes(tril, -2, -1)
+    rng = np.random.default_rng(SEED + 1)
+    rhs = rng.standard_normal((BATCH, DIM))
+    with ops.force_dispatch(mode):
+        out = jax.vmap(
+            lambda a, b: dispatch.solve_triangular_vec(
+                a, b, lower=lower, trans=trans,
+            ),
+        )(jnp.asarray(tri), jnp.asarray(rhs))
+    op = np.swapaxes(tri, -2, -1) if trans else tri
+    ref = np.stack([np.linalg.solve(op[i], rhs[i]) for i in range(BATCH)])
+    np.testing.assert_allclose(out, ref, atol=1e-9)
+
+
+@pytest.mark.parametrize("trans", [True, False])
+def test_solve_triangular_vec_grads_kernel_matches_xla(trans):
+    tril = jnp.asarray(np.linalg.cholesky(_spd_batch(BATCH, DIM)))
+    rng = np.random.default_rng(SEED + 2)
+    rhs = jnp.asarray(rng.standard_normal((BATCH, DIM)))
+
+    def loss(a, b):
+        x = dispatch.solve_triangular_vec(a, b, lower=True, trans=trans)
+        return jnp.sum(x ** 2 * jnp.arange(1.0, DIM + 1))
+
+    with ops.force_dispatch("kernel"):
+        gk = jax.vmap(jax.grad(loss, argnums=(0, 1)))(tril, rhs)
+    with ops.force_dispatch("xla"):
+        gx = jax.vmap(jax.grad(loss, argnums=(0, 1)))(tril, rhs)
+    np.testing.assert_allclose(gk[0], gx[0], atol=1e-9)
+    np.testing.assert_allclose(gk[1], gx[1], atol=1e-9)
+
+
+def test_solve_triangular_matrix_gradient_masked_to_read_triangle():
+    """The adjoint wrt the matrix is supported on the read triangle only."""
+    tril = jnp.asarray(np.linalg.cholesky(_spd_batch(1, DIM))[0])
+    rng = np.random.default_rng(SEED + 3)
+    rhs = jnp.asarray(rng.standard_normal(DIM))
+
+    def loss(a):
+        return jnp.sum(
+            dispatch.solve_triangular_vec(a, rhs, lower=True) ** 2,
+        )
+
+    g = jax.grad(loss)(tril)
+    np.testing.assert_allclose(g, jnp.tril(g))
+    g_ref = jax.grad(
+        lambda a: jnp.sum(jnp.linalg.solve(a, rhs) ** 2),
+    )(tril)
+    np.testing.assert_allclose(g, np.tril(np.asarray(g_ref)), atol=1e-10)
+
+
+def test_constant_matrix_batched_rhs():
+    """Unbatched matrix under vmap broadcasts without materializing."""
+    spd = jnp.asarray(_spd_batch(1, DIM)[0])
+    rng = np.random.default_rng(SEED + 4)
+    rhs = rng.standard_normal((BATCH, DIM))
+    tril = jnp.asarray(np.linalg.cholesky(np.asarray(spd)))
+    out = jax.vmap(
+        lambda b: dispatch.solve_triangular_vec(tril, b, lower=True),
+    )(jnp.asarray(rhs))
+    ref = np.linalg.solve(np.asarray(tril), rhs.T).T
+    np.testing.assert_allclose(out, ref, atol=1e-10)
+
+
+def test_constant_rhs_batched_matrix():
+    trils = jnp.asarray(np.linalg.cholesky(_spd_batch(BATCH, DIM)))
+    rng = np.random.default_rng(SEED + 5)
+    rhs = jnp.asarray(rng.standard_normal(DIM))
+    with ops.force_dispatch("kernel"):
+        out = jax.vmap(
+            lambda a: dispatch.solve_triangular_vec(a, rhs, lower=True),
+        )(trils)
+    ref = np.stack([
+        np.linalg.solve(np.asarray(trils)[i], np.asarray(rhs))
+        for i in range(BATCH)
+    ])
+    np.testing.assert_allclose(out, ref, atol=1e-9)
+
+
+def test_force_dispatch_validates_mode():
+    with pytest.raises(ValueError):
+        with ops.force_dispatch("bogus"):
+            pass
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: vmapped dense-Riemannian hot path, kernel vs XLA
+# ---------------------------------------------------------------------------
+
+
+def _dense_system():
+    def neg_log_dens(q):
+        return 0.5 * jnp.sum(q ** 2) + 0.25 * jnp.sum(q ** 4)
+
+    def metric_func(q):
+        return (1.0 + 0.5 * jnp.sum(q ** 2)) * jnp.eye(q.shape[0]) \
+            + 0.1 * jnp.outer(q, q)
+
+    return systems.DenseRiemannianMetricSystem(neg_log_dens, metric_func)
+
+
+def _batched_states(system, b=BATCH, seed=SEED):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.standard_normal((b, DIM)) * 0.4)
+    keys = jax.random.split(jax.random.PRNGKey(seed), b)
+
+    def make(p, k):
+        state = system.prepare_state(ChainState(pos=p, mom=None, dir=1))
+        return state.replace(mom=system.sample_momentum(state, k))
+
+    return jax.vmap(make)(pos, keys)
+
+
+def test_dense_riemannian_quantities_kernel_matches_xla():
+    system = _dense_system()
+    states = _batched_states(system)
+
+    def quantities(state):
+        return (
+            system.h(state),
+            system.dh1_dpos(state),
+            system.dh2_dpos(state),
+            system.dh2_dmom(state),
+        )
+
+    with ops.force_dispatch("kernel"):
+        qk = jax.vmap(quantities)(states)
+    with ops.force_dispatch("xla"):
+        qx = jax.vmap(quantities)(states)
+    for a, b in zip(qk, qx):
+        np.testing.assert_allclose(a, b, atol=1e-8)
+
+
+def test_dense_riemannian_trajectory_kernel_matches_xla():
+    """Implicit-leapfrog trajectories agree between dispatch paths."""
+    system = _dense_system()
+    integrator = integrators.ImplicitLeapfrogIntegrator(
+        system, step_size=0.05,
+        fixed_point_solver_kwargs={"convergence_tol": 1e-12},
+    )
+    states = _batched_states(system)
+
+    def trajectory(state):
+        def step(s, _):
+            s = integrator.step(s)
+            return s, (s.pos, s.mom)
+
+        _, traj = jax.lax.scan(step, state, None, length=5)
+        return traj
+
+    with ops.force_dispatch("kernel"):
+        tk = jax.jit(jax.vmap(trajectory))(states)
+        tk = jax.tree_util.tree_map(np.asarray, tk)
+    with ops.force_dispatch("xla"):
+        tx = jax.jit(jax.vmap(trajectory))(states)
+        tx = jax.tree_util.tree_map(np.asarray, tx)
+    np.testing.assert_allclose(tk[0], tx[0], atol=1e-8)
+    np.testing.assert_allclose(tk[1], tx[1], atol=1e-8)
