@@ -170,6 +170,38 @@ def config_4_constrained_torus(n_chain=128, seed=0):
     return sampler, init_states, {"adapters": None}
 
 
+def config_6_dense_riemannian(n_chain=1024, dim=16, seed=0):
+    """Dense-metric Riemannian NUTS: per-chain dense metric factorized at
+    every flow evaluation — the showcase for the dispatched Pallas
+    batched-Cholesky/tri-solve kernels (docs/BENCHMARKS.md round 2 table).
+
+    Not a BASELINE.json config; complements config 3 (whose SoftAbs metric
+    is eigendecomposition-based) with the Cholesky-based dense hot path.
+    """
+    scale = jnp.asarray(np.linspace(0.5, 2.0, dim), _float_dtype())
+
+    def neg_log_dens(q):
+        return 0.5 * jnp.sum((q / scale) ** 2) + 0.25 * jnp.sum(q**4) / dim
+
+    def metric_func(q):
+        return (1.0 + jnp.sum(q**2) / dim) * jnp.eye(dim, dtype=q.dtype) \
+            + (0.1 / dim) * jnp.outer(q, q)
+
+    system = systems.DenseRiemannianMetricSystem(neg_log_dens, metric_func)
+    integrator = integrators.ImplicitLeapfrogIntegrator(
+        system, step_size=0.1,
+        fixed_point_solver_kwargs={
+            "convergence_tol": 1e-5, "max_iters": 20,
+        },
+    )
+    sampler = samplers.DynamicMultinomialHMC(
+        system, integrator, seed, max_tree_depth=4,
+    )
+    rng = np.random.default_rng(seed + 1)
+    init_states = list(rng.standard_normal((n_chain, dim)) * 0.3)
+    return sampler, init_states, {"adapters": None}
+
+
 def config_5_massively_parallel(n_chain=4096, dim=100, seed=0, mesh=None):
     """4096 NUTS chains, vmapped (and optionally sharded over a mesh) with
     host-streamed traces.  BASELINE.json config 5.
