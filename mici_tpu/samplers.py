@@ -753,12 +753,14 @@ class DynamicMultinomialHMC(HamiltonianMonteCarlo):
     def __init__(self, system, integrator, rng, *, max_tree_depth=10,
                  max_delta_h=1000.0,
                  termination_criterion=riemannian_no_u_turn_criterion,
-                 do_extra_subtree_checks=True, momentum_transition=None):
+                 do_extra_subtree_checks=True, momentum_transition=None,
+                 loop_mode="doubling"):
         integration_transition = MultinomialDynamicIntegrationTransition(
             system, integrator, max_tree_depth=max_tree_depth,
             max_delta_h=max_delta_h,
             termination_criterion=termination_criterion,
             do_extra_subtree_checks=do_extra_subtree_checks,
+            loop_mode=loop_mode,
         )
         super().__init__(system, rng, integration_transition,
                          momentum_transition)
@@ -781,12 +783,14 @@ class DynamicSliceHMC(HamiltonianMonteCarlo):
     def __init__(self, system, integrator, rng, *, max_tree_depth=10,
                  max_delta_h=1000.0,
                  termination_criterion=euclidean_no_u_turn_criterion,
-                 do_extra_subtree_checks=False, momentum_transition=None):
+                 do_extra_subtree_checks=False, momentum_transition=None,
+                 loop_mode="doubling"):
         integration_transition = SliceDynamicIntegrationTransition(
             system, integrator, max_tree_depth=max_tree_depth,
             max_delta_h=max_delta_h,
             termination_criterion=termination_criterion,
             do_extra_subtree_checks=do_extra_subtree_checks,
+            loop_mode=loop_mode,
         )
         super().__init__(system, rng, integration_transition,
                          momentum_transition)

@@ -187,3 +187,96 @@ def test_subtree_termination_rate_sanity():
         )
         terminated.append(bool(sub["terminated"]))
     assert any(terminated)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-loop vs two-loop formulation: bit-identical transitions
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("transition_cls", [
+    transitions.MultinomialDynamicIntegrationTransition,
+    transitions.SliceDynamicIntegrationTransition,
+])
+@pytest.mark.parametrize("criterion", [
+    transitions.riemannian_no_u_turn_criterion,
+    transitions.euclidean_no_u_turn_criterion,
+])
+@pytest.mark.parametrize("do_extra", [True, False])
+@pytest.mark.parametrize("step_size", [0.3, 1.1])
+def test_fused_sample_identical_to_two_loop(
+        transition_cls, criterion, do_extra, step_size):
+    """The fused single-while-loop sample consumes PRNG streams in the
+    same order as the two-loop doubling formulation, so both make the
+    same discrete decisions (steps, depths, termination/error flags) and
+    produce the same trajectories.  Continuous quantities are compared
+    at ~10 ulp: XLA fuses the two program structures differently, so the
+    identical arithmetic yields last-ulp differences.
+    """
+    system, integrator = _setup(step_size=step_size)
+    trans = transition_cls(
+        system, integrator, max_tree_depth=5,
+        termination_criterion=criterion,
+        do_extra_subtree_checks=do_extra,
+    )
+    rng = np.random.default_rng(SEED + 99)
+    fused = jax.jit(trans._sample_fused)
+    two_loop = jax.jit(trans._sample_two_loop)
+    exact_keys = ("n_step", "tree_depth", "diverging",
+                  "non_reversible_step", "convergence_error")
+    for case in range(12):
+        pos = rng.standard_normal(DIM)
+        mom = rng.standard_normal(DIM)
+        state = system.prepare_state(ChainState(pos=pos, mom=mom, dir=1))
+        key = jax.random.PRNGKey(SEED + case)
+        s_fused, stats_fused = fused(state, key)
+        s_two, stats_two = two_loop(state, key)
+        np.testing.assert_allclose(
+            np.asarray(s_fused.pos), np.asarray(s_two.pos), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(s_fused.mom), np.asarray(s_two.mom), rtol=1e-12,
+            atol=1e-14)
+        assert int(s_fused.dir) == int(s_two.dir)
+        for key_name in exact_keys:
+            np.testing.assert_array_equal(
+                np.asarray(stats_fused[key_name]),
+                np.asarray(stats_two[key_name]), err_msg=key_name)
+        for key_name in stats_two:
+            if key_name not in exact_keys:
+                np.testing.assert_allclose(
+                    np.asarray(stats_fused[key_name]),
+                    np.asarray(stats_two[key_name]), rtol=1e-12,
+                    err_msg=key_name)
+
+
+def test_fused_sample_identical_to_two_loop_vmapped():
+    """Identity also holds for a vmapped chain batch (select-based
+    masking interacts with batching)."""
+    system, integrator = _setup(step_size=0.5)
+    trans = transitions.MultinomialDynamicIntegrationTransition(
+        system, integrator, max_tree_depth=4)
+    rng = np.random.default_rng(SEED + 7)
+    n_chain = 16
+    pos = rng.standard_normal((n_chain, DIM))
+    mom = rng.standard_normal((n_chain, DIM))
+    states = jax.vmap(
+        lambda p, m: system.prepare_state(ChainState(pos=p, mom=m, dir=1)),
+    )(jnp.asarray(pos), jnp.asarray(mom))
+    keys = jax.random.split(jax.random.PRNGKey(SEED), n_chain)
+    s_fused, stats_fused = jax.jit(jax.vmap(trans._sample_fused))(states, keys)
+    s_two, stats_two = jax.jit(jax.vmap(trans._sample_two_loop))(
+        states, keys)
+    np.testing.assert_allclose(
+        np.asarray(s_fused.pos), np.asarray(s_two.pos), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s_fused.mom), np.asarray(s_two.mom), rtol=1e-12,
+        atol=1e-14)
+    for key_name in ("n_step", "tree_depth", "diverging"):
+        np.testing.assert_array_equal(
+            np.asarray(stats_fused[key_name]),
+            np.asarray(stats_two[key_name]), err_msg=key_name)
+    for key_name in ("accept_stat", "reject_prob"):
+        np.testing.assert_allclose(
+            np.asarray(stats_fused[key_name]),
+            np.asarray(stats_two[key_name]), rtol=1e-12,
+            err_msg=key_name)
