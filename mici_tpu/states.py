@@ -64,14 +64,27 @@ def cache_in_state_with_aux(depends_on, auxiliary_outputs):
     return decorator
 
 
-@register_pytree(data_fields=("pos", "mom", "dir", "error", "aux"))
-class ChainState:
-    """Immutable chain state: position, momentum, integration direction.
+#: Named fast-path state fields (always present as direct attributes).
+_CORE_FIELDS = ("pos", "mom", "dir", "error", "aux")
 
-    Reference: mici/states.py:160-305.  Unlike the reference object this is
-    an immutable pytree; use :meth:`replace` (or keyword-style ``copy``) to
-    derive updated states.  ``error`` is an int32 bitmask of in-flight
-    integrator error flags (see :mod:`mici_tpu.errors`).
+
+@register_pytree(
+    data_fields=("pos", "mom", "dir", "error", "aux", "variables"),
+)
+class ChainState:
+    """Immutable chain state: named fast-path fields plus free variables.
+
+    Reference: mici/states.py:160-305, where ``ChainState(**variables)``
+    accepts an arbitrary set of state variables so that non-Hamiltonian
+    transitions over any variable set can run through the same generic
+    `MarkovChainMonteCarloMethod` driver.  This pytree keeps the
+    Hamiltonian fast paths — ``pos`` / ``mom`` / ``dir`` as direct fields —
+    and stores any further keyword variables in the ``variables`` dict
+    pytree, exposed as attributes (``state.x`` for
+    ``ChainState(x=...)``).  Unlike the reference object this is an
+    immutable pytree; use :meth:`replace` to derive updated states.
+    ``error`` is an int32 bitmask of in-flight integrator error flags (see
+    :mod:`mici_tpu.errors`).
 
     ``aux`` is a dict pytree of *position-dependent* derived quantities
     (negative log density value/gradient, metric operator, constraint
@@ -81,10 +94,11 @@ class ChainState:
     ``system.prepare_state`` and integrator steps; user code can ignore it.
     """
 
-    def __init__(self, pos, mom=None, dir=1, error=None, aux=None,
-                 _read_only=False):
-        pos = jnp.asarray(pos)
-        object.__setattr__(self, "pos", pos)
+    def __init__(self, pos=None, mom=None, dir=1, error=None, aux=None,
+                 _read_only=False, **variables):
+        object.__setattr__(
+            self, "pos", None if pos is None else jnp.asarray(pos),
+        )
         object.__setattr__(
             self, "mom", None if mom is None else jnp.asarray(mom),
         )
@@ -93,6 +107,25 @@ class ChainState:
             error = jnp.zeros((), dtype=jnp.int32)
         object.__setattr__(self, "error", jnp.asarray(error, jnp.int32))
         object.__setattr__(self, "aux", {} if aux is None else aux)
+        for name in variables:
+            if name.startswith("_") or name == "copy":
+                msg = (
+                    f"Invalid state variable name {name!r}: names must not "
+                    "start with an underscore or shadow 'copy' "
+                    "(reference: mici/states.py:186-198)."
+                )
+                raise ValueError(msg)
+        object.__setattr__(self, "variables", dict(variables))
+
+    def __getattr__(self, name):
+        # Only reached when normal attribute lookup fails; expose free
+        # state variables (reference: mici/states.py:240-246).
+        if not name.startswith("_"):
+            variables = self.__dict__.get("variables")
+            if variables is not None and name in variables:
+                return variables[name]
+        msg = f"{type(self).__name__!s} has no attribute {name!r}."
+        raise AttributeError(msg)
 
     def __setattr__(self, name, value):
         msg = (
@@ -100,6 +133,33 @@ class ChainState:
             f"{name}=...) to derive an updated state."
         )
         raise errors.ReadOnlyStateError(msg)
+
+    def replace(self, **updates):
+        """Return a copy of the state with the given fields replaced.
+
+        Accepts the named fast-path fields (``pos``/``mom``/``dir``/
+        ``error``/``aux``), the ``variables`` dict as a whole, or any
+        individual free variable name present on this state.
+        """
+        obj = object.__new__(ChainState)
+        for name in _CORE_FIELDS:
+            object.__setattr__(obj, name, getattr(self, name))
+        variables = self.variables
+        var_updates = {}
+        for name, value in updates.items():
+            if name in _CORE_FIELDS:
+                object.__setattr__(obj, name, value)
+            elif name == "variables":
+                variables = value
+            elif name in variables:
+                var_updates[name] = value
+            else:
+                msg = f"Unknown field {name!r} for ChainState."
+                raise ValueError(msg)
+        if var_updates:
+            variables = {**variables, **var_updates}
+        object.__setattr__(obj, "variables", variables)
+        return obj
 
     def copy(self, *, read_only: bool = False):
         """Return state copy (a no-op alias kept for reference API parity)."""
@@ -121,7 +181,10 @@ class ChainState:
         return self.replace(error=jnp.zeros_like(self.error))
 
     def __repr__(self):
+        extra = "".join(
+            f", {name}={value!r}" for name, value in self.variables.items()
+        )
         return (
             f"ChainState(pos={self.pos!r}, mom={self.mom!r}, "
-            f"dir={self.dir!r}, error={self.error!r})"
+            f"dir={self.dir!r}, error={self.error!r}{extra})"
         )
