@@ -50,9 +50,13 @@ class Integrator:
             raise errors.AdaptationError(msg)
         return self._step(state, state.dir * self.step_size)
 
-    def _reverse_tol(self, state):
+    def _reverse_tol(self, state, scale=None):
+        # ``scale`` is the norm of the quantity the reversibility check
+        # compares (position / momentum baseline), making the f32 default
+        # tolerance proportionate to problem scale (see solvers.default_tol).
         return _resolve_tol(
             getattr(self, "reverse_check_tol", None), state.pos.dtype, 2e-8,
+            scale=scale,
         )
 
 
@@ -241,9 +245,10 @@ class ImplicitLeapfrogIntegrator(Integrator):
         )
         state_back = self._step_b_fwd(state_explicit, -time_step)
         rev_diff = self.reverse_check_norm(state_back.mom - mom_init)
+        rev_tol = self._reverse_tol(state, self.reverse_check_norm(mom_init))
         return state_explicit.with_error_bit(
             errors.NON_REVERSIBLE_BIT,
-            (rev_diff > self._reverse_tol(state)) | jnp.isnan(rev_diff),
+            (rev_diff > rev_tol) | jnp.isnan(rev_diff),
         ).with_error_bit(errors.CONVERGENCE_BIT, state_back.error != 0)
 
     def _step_c_fwd(self, state, time_step):
@@ -254,9 +259,10 @@ class ImplicitLeapfrogIntegrator(Integrator):
         )
         state_back = self._step_c_adj(state_explicit, -time_step)
         rev_diff = self.reverse_check_norm(state_back.pos - pos_init)
+        rev_tol = self._reverse_tol(state, self.reverse_check_norm(pos_init))
         return state_explicit.with_error_bit(
             errors.NON_REVERSIBLE_BIT,
-            (rev_diff > self._reverse_tol(state)) | jnp.isnan(rev_diff),
+            (rev_diff > rev_tol) | jnp.isnan(rev_diff),
         ).with_error_bit(
             errors.CONVERGENCE_BIT, state_back.error != 0,
         )
@@ -348,9 +354,12 @@ class ImplicitMidpointIntegrator(Integrator):
             state_back.pos - state_prev.pos,
             state_back.mom - state_prev.mom,
         ]))
+        rev_tol = self._reverse_tol(state, self.reverse_check_norm(
+            jnp.concatenate([state_prev.pos, state_prev.mom]),
+        ))
         return new_state.with_error_bit(
             errors.NON_REVERSIBLE_BIT,
-            (rev_diff > self._reverse_tol(state)) | jnp.isnan(rev_diff),
+            (rev_diff > rev_tol) | jnp.isnan(rev_diff),
         ).with_error_bit(errors.CONVERGENCE_BIT, state_back.error != 0)
 
     def _step(self, state, time_step):
@@ -420,9 +429,12 @@ class ConstrainedLeapfrogIntegrator(TractableFlowIntegrator):
             rev_diff = self.reverse_check_norm(
                 state_back.pos - state_prev.pos,
             )
+            rev_tol = self._reverse_tol(
+                state, self.reverse_check_norm(state_prev.pos),
+            )
             state = state.with_error_bit(
                 errors.NON_REVERSIBLE_BIT,
-                (rev_diff > self._reverse_tol(state)) | jnp.isnan(rev_diff),
+                (rev_diff > rev_tol) | jnp.isnan(rev_diff),
             ).with_error_bit(
                 errors.CONVERGENCE_BIT, state_back.error != 0,
             )

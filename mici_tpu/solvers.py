@@ -19,29 +19,48 @@ from mici_tpu import errors
 
 #: Multiplier applied to the reference's f64 tolerances when running in
 #: f32: 1e-9 -> 1e-6 (constraint/fixed-point), 1e-8 -> 1e-5 (position),
-#: 2e-8 -> 2e-5 (reversibility).  These sit just above the f32 residual
-#: floor for O(1)-scaled problems (f32 eps ~ 1.2e-7); measured on the
-#: torus benchmark they give ~0% solver-failure rates where the raw f64
-#: values give >60%.
+#: 2e-8 -> 2e-5 (reversibility), *per unit of problem scale*.  These sit
+#: just above the f32 residual floor for O(1)-scaled problems (f32 eps ~
+#: 1.2e-7); measured on the torus benchmark they give ~0% solver-failure
+#: rates where the raw f64 values give >60%.
 _F32_TOL_FACTOR = 1e3
 
 
-def default_tol(dtype, f64_value):
+def default_tol(dtype, f64_value, scale=None):
     """Dtype-aware tolerance: the reference (f64) value, rescaled for f32.
 
     The reference's solver/reversibility tolerances (e.g. ``1e-9``,
     mici/solvers.py:50) assume double precision; on TPU the default
     compute dtype is float32 whose error floor makes those unattainable.
     Tolerances passed as ``None`` resolve through this map.
+
+    Args:
+        dtype: Compute dtype the solver iterates in.
+        f64_value: The reference's double-precision tolerance.
+        scale: Optional problem-scale estimate (a norm of the iterate /
+            position).  In reduced precision the attainable residual floor
+            is *relative* — roughly ``eps * scale`` — so a fixed absolute
+            rescale silently loosens small-scale problems and is
+            unattainable for large-scale ones.  When given, the f32
+            tolerance is proportional to ``max(scale, eps)`` so residual
+            bounds stay proportionate to the data: an O(1e-3)-scaled
+            constraint resolves to ~1e-9 rather than the blanket 1e-6.
+            Ignored in f64 (reference parity: absolute tolerances).
     """
     f64_value = float(f64_value)
     if jnp.finfo(dtype).bits >= 64:
         return f64_value
-    return f64_value * _F32_TOL_FACTOR
+    tol = f64_value * _F32_TOL_FACTOR
+    if scale is None:
+        return tol
+    return tol * jnp.maximum(
+        jnp.asarray(scale, dtype), jnp.finfo(dtype).eps,
+    )
 
 
-def _resolve_tol(tol, dtype, f64_value):
-    return default_tol(dtype, f64_value) if tol is None else tol
+def _resolve_tol(tol, dtype, f64_value, scale=None):
+    """Explicit user tolerances win (absolute); None is dtype/scale-aware."""
+    return default_tol(dtype, f64_value, scale) if tol is None else tol
 
 
 def euclidean_norm(vct):
@@ -72,7 +91,7 @@ def solve_fixed_point_direct(func, x0, convergence_tol=None,
         is True when the iteration diverged, produced NaNs, or failed to
         converge within ``max_iters``.
     """
-    convergence_tol = _resolve_tol(convergence_tol, x0.dtype, 1e-9)
+    user_tol = convergence_tol
 
     def cond(carry):
         i, _x, converged, diverged = carry
@@ -82,8 +101,12 @@ def solve_fixed_point_direct(func, x0, convergence_tol=None,
         i, x, _, _ = carry
         x_new = func(x)
         error = norm(x_new - x)
+        # Scale-aware default tolerance: the attainable f32 residual floor
+        # is relative to the iterate's magnitude, so the default tolerance
+        # tracks it (explicit tolerances stay absolute).
+        tol = _resolve_tol(user_tol, x0.dtype, 1e-9, scale=norm(x_new))
         diverged = (error > divergence_tol) | jnp.isnan(error)
-        converged = error < convergence_tol
+        converged = error < tol
         return (i + 1, x_new, converged, diverged)
 
     _, x, converged, diverged = lax.while_loop(
@@ -103,7 +126,7 @@ def solve_fixed_point_steffensen(func, x0, convergence_tol=None,
     Returns:
         Tuple ``(x, error_flag)`` as for :func:`solve_fixed_point_direct`.
     """
-    convergence_tol = _resolve_tol(convergence_tol, x0.dtype, 1e-9)
+    user_tol = convergence_tol
 
     def cond(carry):
         i, _x, converged, diverged = carry
@@ -119,8 +142,9 @@ def solve_fixed_point_steffensen(func, x0, convergence_tol=None,
         denom = jnp.where(jnp.abs(denom) == 0.0, eps, denom)
         x_new = x0_ - (x1 - x0_) ** 2 / denom
         error = norm(x_new - x0_)
+        tol = _resolve_tol(user_tol, x0.dtype, 1e-9, scale=norm(x_new))
         diverged = (error > divergence_tol) | jnp.isnan(error)
-        converged = error < convergence_tol
+        converged = error < tol
         return (i + 1, x_new, converged, diverged)
 
     _, x, converged, diverged = lax.while_loop(
@@ -159,8 +183,13 @@ def solve_projection_onto_manifold_quasi_newton(
     ``max_iters`` exhaustion) sets the CONVERGENCE error bit on the
     returned state instead of raising.
     """
-    constraint_tol = _resolve_tol(constraint_tol, state.pos.dtype, 1e-9)
-    position_tol = _resolve_tol(position_tol, state.pos.dtype, 1e-8)
+    pos_scale = norm(state.pos)
+    constraint_tol = _resolve_tol(
+        constraint_tol, state.pos.dtype, 1e-9, scale=pos_scale,
+    )
+    position_tol = _resolve_tol(
+        position_tol, state.pos.dtype, 1e-8, scale=pos_scale,
+    )
     jacob_constr_prev = system.jacob_constr(state_prev)
     dh2_flow_pos_dmom, dh2_flow_mom_dmom = system.dh2_flow_dmom(
         state_prev, jnp.abs(time_step),
@@ -211,8 +240,13 @@ def solve_projection_onto_manifold_newton(
     Re-evaluates the constraint Jacobian and re-factorizes the residual
     Jacobian on every iteration.  Reference: mici/solvers.py:346-469.
     """
-    constraint_tol = _resolve_tol(constraint_tol, state.pos.dtype, 1e-9)
-    position_tol = _resolve_tol(position_tol, state.pos.dtype, 1e-8)
+    pos_scale = norm(state.pos)
+    constraint_tol = _resolve_tol(
+        constraint_tol, state.pos.dtype, 1e-9, scale=pos_scale,
+    )
+    position_tol = _resolve_tol(
+        position_tol, state.pos.dtype, 1e-8, scale=pos_scale,
+    )
     jacob_constr_prev = system.jacob_constr(state_prev)
     dh2_flow_pos_dmom, dh2_flow_mom_dmom = system.dh2_flow_dmom(
         state_prev, jnp.abs(time_step),
@@ -262,8 +296,13 @@ def solve_projection_onto_manifold_newton_with_line_search(
     update by a step size found by halving until the constraint residual
     norm decreases.  Reference: mici/solvers.py:472-614.
     """
-    constraint_tol = _resolve_tol(constraint_tol, state.pos.dtype, 1e-9)
-    position_tol = _resolve_tol(position_tol, state.pos.dtype, 1e-8)
+    pos_scale = norm(state.pos)
+    constraint_tol = _resolve_tol(
+        constraint_tol, state.pos.dtype, 1e-9, scale=pos_scale,
+    )
+    position_tol = _resolve_tol(
+        position_tol, state.pos.dtype, 1e-8, scale=pos_scale,
+    )
     jacob_constr_prev = system.jacob_constr(state_prev)
     dh2_flow_pos_dmom, dh2_flow_mom_dmom = system.dh2_flow_dmom(
         state_prev, jnp.abs(time_step),

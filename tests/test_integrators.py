@@ -296,6 +296,48 @@ def test_constrained_leapfrog(projection_solver):
     np.testing.assert_allclose(s.mom, state.mom, atol=1e-6)
 
 
+def test_constrained_leapfrog_small_scale_f32_residuals_proportionate():
+    """Scale-aware f32 default tolerances on a 1e-3-sized constraint.
+
+    With the blanket absolute f32 rescale (1e-9 -> 1e-6) a circle of
+    radius 1e-3 would accept constraint residuals as large as the
+    constraint scale itself (|q|^2 - r^2 ~ 1e-6).  The scale-aware
+    defaults bound residuals proportionately (~1e-9 for 1e-3-scaled
+    positions).
+    """
+    r = 1e-3
+
+    def constr(q):
+        return jnp.array([jnp.sum(q**2) - r**2])
+
+    system = systems.DenseConstrainedEuclideanMetricSystem(
+        lambda q: jnp.sum(q**2) / (2 * r**2), constr,
+        dens_wrt_hausdorff=True)
+    # default (None) tolerances: these must resolve scale-aware in f32
+    integrator = integrators.ConstrainedLeapfrogIntegrator(
+        system, step_size=5e-7)
+    pos = np.array([r, 0.0], dtype=np.float32)
+    state = system.prepare_state(ChainState(pos=pos, mom=None, dir=1))
+    # O(1) momentum (identity metric): velocities O(1), so tiny step size
+    mom = jnp.asarray([0.0, 1.0], dtype=jnp.float32)
+    state = state.replace(mom=mom)
+
+    @jax.jit
+    def forward(state):
+        def step(s, _):
+            s = integrator.step(s)
+            return s, (system.constr(s), s.error)
+
+        return jax.lax.scan(step, state, None, length=20)
+
+    s, (constrs, step_errors) = forward(state)
+    assert s.pos.dtype == jnp.float32
+    assert int(np.max(np.abs(np.asarray(step_errors)))) == 0
+    # residuals proportionate to the constraint scale (r^2 = 1e-6):
+    # bounded by ~1e-9, three orders below the blanket absolute 1e-6
+    assert float(np.max(np.abs(np.asarray(constrs)))) < 5e-9
+
+
 def test_constrained_gaussian_system():
     """GaussianDenseConstrained system with torus-like constraint."""
 

@@ -129,3 +129,42 @@ def test_resolve_tol_explicit_value_wins():
     assert solvers._resolve_tol(None, jnp.float32, 1e-9) == pytest.approx(
         1e-6)
     assert solvers._resolve_tol(None, jnp.float64, 1e-9) == 1e-9
+
+
+def test_default_tol_scale_aware():
+    # f32 default tolerances are proportionate to problem scale so a
+    # small-scale problem keeps a proportionately small residual bound.
+    assert float(solvers.default_tol(jnp.float32, 1e-9, scale=1.0)) == (
+        pytest.approx(1e-6)
+    )
+    assert float(solvers.default_tol(jnp.float32, 1e-9, scale=1e-3)) == (
+        pytest.approx(1e-9)
+    )
+    assert float(solvers.default_tol(jnp.float32, 1e-9, scale=1e3)) == (
+        pytest.approx(1e-3)
+    )
+    # Scale is floored at machine epsilon so a zero-scale problem keeps a
+    # nonzero (attainable) tolerance.
+    assert float(solvers.default_tol(jnp.float32, 1e-9, scale=0.0)) > 0
+    # f64 stays absolute (reference parity) regardless of scale.
+    assert solvers.default_tol(jnp.float64, 1e-9, scale=1e-3) == 1e-9
+    # Explicit tolerances are always absolute.
+    assert solvers._resolve_tol(3e-4, jnp.float32, 1e-9, scale=1e-3) == 3e-4
+
+
+def test_fixed_point_small_scale_residual_proportionate():
+    # Fixed point of x -> (x + c / x) / 2 is sqrt(c); with c ~ 1e-8 the
+    # solution is ~1e-4-scaled, so the f32 scale-aware default tolerance
+    # must bound the residual proportionately (~1e-10 rather than the
+    # blanket absolute 1e-6 that would accept a 1% relative error).
+    c = jnp.float32(1e-8)
+
+    def func(x):
+        return 0.5 * (x + c / x)
+
+    x0 = jnp.full((1,), 1e-3, dtype=jnp.float32)
+    x, error = solvers.solve_fixed_point_direct(func, x0)
+    assert not bool(error)
+    resid = float(np.abs(np.asarray(func(x) - x)).max())
+    assert resid < 5e-9
+    np.testing.assert_allclose(np.asarray(x), 1e-4, rtol=1e-4)
