@@ -23,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
 CHAIN_AXIS = "chains"
+SLICE_AXIS = "slice"
 
 
 def make_chain_mesh(n_devices=None, devices=None):
@@ -42,9 +43,50 @@ def make_chain_mesh(n_devices=None, devices=None):
     return Mesh(np.array(devices), (CHAIN_AXIS,))
 
 
+def make_slice_chain_mesh(n_slices, n_devices_per_slice=None, devices=None):
+    """Create a two-level ``("slice", "chains")`` device mesh.
+
+    For multi-slice TPU pods the devices within a slice are connected by
+    ICI while slices communicate over DCN.  Laying the mesh out as
+    ``(slice, chains)`` — with devices of the same slice contiguous along
+    the inner ``chains`` axis — keeps the all-reduces for cross-chain
+    adapter reductions hierarchical: XLA reduces within a slice over ICI
+    first and exchanges only the reduced values across slices over DCN.
+
+    Args:
+        n_slices: Number of slices (outer mesh axis size).
+        n_devices_per_slice: Devices per slice (inner axis size).  Default:
+            all available devices divided evenly into ``n_slices`` groups.
+        devices: Explicit device list in slice-major order (overrides
+            ``n_devices_per_slice``).
+
+    Returns:
+        ``jax.sharding.Mesh`` with axes ``("slice", "chains")``.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices_per_slice is not None:
+            devices = devices[: n_slices * n_devices_per_slice]
+    devices = np.asarray(devices)
+    if devices.size % n_slices != 0:
+        msg = (
+            f"Number of devices ({devices.size}) is not divisible by "
+            f"n_slices ({n_slices})."
+        )
+        raise ValueError(msg)
+    return Mesh(
+        devices.reshape(n_slices, -1), (SLICE_AXIS, CHAIN_AXIS),
+    )
+
+
 def chain_sharding(mesh):
-    """NamedSharding placing the leading (chain) axis over the mesh."""
-    return NamedSharding(mesh, PartitionSpec(CHAIN_AXIS))
+    """NamedSharding placing the leading (chain) axis over the mesh.
+
+    For a two-level ``("slice", "chains")`` mesh the chain axis is sharded
+    over *both* mesh axes (slice-major), so the flat chain batch spans all
+    devices while collectives stay hierarchical.
+    """
+    return NamedSharding(mesh, PartitionSpec(mesh.axis_names))
 
 
 def replicated_sharding(mesh):

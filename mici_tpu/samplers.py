@@ -24,12 +24,17 @@ relative to the reference (see SURVEY.md §7):
 from __future__ import annotations
 
 import functools
+import logging
+import warnings
 from pathlib import Path
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+#: Module logger (reference: mici/samplers.py:84).
+logger = logging.getLogger(__name__)
 
 from mici_tpu.adapters import DualAveragingStepSizeAdapter
 from mici_tpu.errors import AdaptationError
@@ -346,6 +351,24 @@ class MarkovChainMonteCarloMethod:
         Returns:
             MCMCSampleChainsOutputs(final_states, traces, statistics).
         """
+        ignored = [
+            name for name, value, default in (
+                ("n_worker", n_worker, (1, None)),
+                ("n_process", n_process, (1, None)),
+                ("use_thread_pool", use_thread_pool, (False, None)),
+                ("max_threads_per_worker", max_threads_per_worker, (None,)),
+            ) if value not in default
+        ]
+        if ignored:
+            warnings.warn(
+                f"Ignoring {', '.join(ignored)}: chains always execute as "
+                "a single vectorized device program (the TPU-native "
+                "replacement for the reference's worker pools). To scale "
+                "across devices pass mesh= (see mici_tpu.parallel).",
+                UserWarning,
+                stacklevel=2,
+            )
+
         if not display_progress:
             progress_bar_class = DummyProgressBar
             stage_bar_class = DummyProgressBar
@@ -377,6 +400,8 @@ class MarkovChainMonteCarloMethod:
                 memmap_dir = tempfile.mkdtemp()
                 memmap_path = memmap_dir
             Path(memmap_path).mkdir(parents=True, exist_ok=True)
+            logger.info("Storing traces/statistics in memmaps under %s",
+                        memmap_path)
 
         trace_funcs = (tuple(trace_funcs)
                        if trace_funcs is not None else None)
@@ -440,6 +465,12 @@ class MarkovChainMonteCarloMethod:
         transitions = dict(self.transitions)
         sampling_index_offset = 0
         interrupted = False
+        logger.debug(
+            "Sampling %d chains: %d warm-up + %d main iterations over %d "
+            "stage(s)%s",
+            n_chain, n_warm_up_iter, n_main_iter, len(sampling_stages),
+            "" if mesh is None else f" on mesh {mesh.shape}",
+        )
 
         with stage_bar_class(
             sampling_stages, "Sampling stage", position=(0, 2),
@@ -472,6 +503,13 @@ class MarkovChainMonteCarloMethod:
                     range(stage.n_iter), description=label, position=(1, 2),
                 )
                 pending = None  # (row, traces, stats)
+                stage_flags = {}
+
+                def merge_flags(summary):
+                    for key, (n, total) in summary.items():
+                        prev_n, prev_total = stage_flags.get(key, (0.0, 0))
+                        stage_flags[key] = (prev_n + n, prev_total + total)
+
                 with pb:
                     try:
                         # Double-buffered streaming: the next chunk is
@@ -491,10 +529,10 @@ class MarkovChainMonteCarloMethod:
                                 n_iter=this_chunk,
                             )
                             if pending is not None:
-                                self._drain_chunk(
+                                merge_flags(self._drain_chunk(
                                     pending, traces, stats,
                                     stage_trace_funcs, stage.record_stats,
-                                )
+                                ))
                             row = slice(
                                 sampling_index_offset + offset_in_stage,
                                 sampling_index_offset + offset_in_stage
@@ -511,12 +549,18 @@ class MarkovChainMonteCarloMethod:
                                 postfix,
                             )
                         if pending is not None:
-                            self._drain_chunk(
+                            merge_flags(self._drain_chunk(
                                 pending, traces, stats, stage_trace_funcs,
                                 stage.record_stats,
-                            )
+                            ))
                     except KeyboardInterrupt:
                         interrupted = True
+                        logger.info(
+                            "Interrupted during stage %r: returning partial "
+                            "traces/statistics for %d completed "
+                            "iteration(s).", label,
+                            sampling_index_offset + offset_in_stage,
+                        )
                         if pending is not None:
                             try:
                                 self._drain_chunk(
@@ -525,6 +569,17 @@ class MarkovChainMonteCarloMethod:
                                 )
                             except Exception:  # noqa: BLE001
                                 pass
+
+                flagged = [
+                    f"{key} {100 * n / total:.2f}%"
+                    for key, (n, total) in stage_flags.items()
+                    if n > 0 and total > 0
+                ]
+                if flagged:
+                    logger.info(
+                        "Stage %r flagged integrator steps: %s",
+                        label, "; ".join(flagged),
+                    )
 
                 if stage_adapters and not interrupted:
                     transitions, states = self._finalize_adapters(
@@ -572,6 +627,7 @@ class MarkovChainMonteCarloMethod:
                         "maximum number of iterations (or Hamiltonian "
                         "evaluated to NaN at an initial state)."
                     )
+                    logger.error(msg)
                     raise AdaptationError(msg)
 
     def _finalize_adapters(self, transitions, states, adapt_states,
@@ -595,14 +651,26 @@ class MarkovChainMonteCarloMethod:
                     )
         return transitions, states
 
+    #: Per-step failure-flag statistics summarized to the module logger at
+    #: stage end (the compiled-world analogue of the reference's per-step
+    #: trajectory-termination / integrator-error logging,
+    #: mici/transitions.py:30-43).
+    _FLAG_STAT_KEYS = ("diverging", "convergence_error",
+                       "non_reversible_step")
+
     def _drain_chunk(self, pending, traces, stats, stage_trace_funcs,
                      record_stats):
-        """Copy a completed chunk's device results into host buffers."""
+        """Copy a completed chunk's device results into host buffers.
+
+        Returns a ``{stat_key: (n_flagged, n_total)}`` summary of the
+        chunk's failure-flag statistics for stage-level logging.
+        """
         row, chunk_traces, chunk_stats = pending
         if stage_trace_funcs is not None and traces:
             host_traces = jax.device_get(chunk_traces)
             for key, arr in host_traces.items():
                 traces[key][:, row] = arr
+        flag_summary = {}
         if record_stats and stats:
             host_stats = jax.device_get(chunk_stats)
             for t_key, t_stats in host_stats.items():
@@ -610,6 +678,11 @@ class MarkovChainMonteCarloMethod:
                     stats[t_key][key][:, row] = arr.astype(
                         stats[t_key][key].dtype,
                     )
+                    if key in self._FLAG_STAT_KEYS:
+                        flag_summary[f"{t_key}.{key}"] = (
+                            float(np.sum(arr)), int(arr.size),
+                        )
+        return flag_summary
 
     def _monitor_postfix(self, monitor_stats, chunk_stats):
         if monitor_stats is None:

@@ -56,3 +56,51 @@ def test_cross_chain_reduction_over_mesh():
 
     np.testing.assert_allclose(
         np.asarray(chain_mean(xs)), np.asarray(chain_mean(x)), rtol=1e-12)
+
+
+def test_make_slice_chain_mesh():
+    """Two-level ("slice", "chains") mesh for multi-slice (DCN) execution."""
+    mesh = parallel.make_slice_chain_mesh(2)
+    assert mesh.axis_names == (parallel.SLICE_AXIS, parallel.CHAIN_AXIS)
+    assert mesh.devices.shape == (2, len(jax.devices()) // 2)
+    mesh4 = parallel.make_slice_chain_mesh(2, 2)
+    assert mesh4.devices.shape == (2, 2)
+    with np.testing.assert_raises(ValueError):
+        parallel.make_slice_chain_mesh(3)  # 8 devices not divisible by 3
+
+
+def test_chain_sharding_spans_two_level_mesh():
+    """The flat chain axis shards over both mesh axes of a two-level mesh."""
+    mesh = parallel.make_slice_chain_mesh(2)
+    n = mesh.size * 2
+    x = jnp.arange(n * 3, dtype=jnp.float64).reshape(n, 3)
+    xs = parallel.shard_chain_axis(x, mesh)
+    assert not xs.sharding.is_fully_replicated
+    # each device holds n / mesh.size rows
+    shard_shapes = {s.data.shape for s in xs.addressable_shards}
+    assert shard_shapes == {(n // mesh.size, 3)}
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_cross_chain_reduction_over_two_level_mesh():
+    """Adapter-style cross-chain reductions (mean/cov over the chain axis)
+    are correct when the chain axis spans the (slice, chains) mesh."""
+    mesh = parallel.make_slice_chain_mesh(2)
+    n = mesh.size * 4
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((n, 3)))
+    xs = parallel.shard_chain_axis(x, mesh)
+
+    @jax.jit
+    def welford_style(v):
+        mean = v.mean(axis=0)
+        centered = v - mean
+        cov = centered.T @ centered / (v.shape[0] - 1)
+        return mean, cov
+
+    mean_s, cov_s = welford_style(xs)
+    mean_d, cov_d = welford_style(x)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_d),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(cov_s), np.asarray(cov_d),
+                               rtol=1e-12)

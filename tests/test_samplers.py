@@ -219,6 +219,37 @@ def test_sharded_chains_match_unsharded():
     )
 
 
+def test_sharded_chains_two_level_mesh_with_adapter_reductions():
+    """Multi-slice execution: sampling over a ("slice", "chains") 2x4 mesh
+    with windowed metric adaptation (cross-chain Welford reductions at
+    stage boundaries) matches unsharded execution."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    n_chain = 8
+    mesh = parallel.make_slice_chain_mesh(2)
+    assert mesh.devices.shape == (2, 4)
+    adapter_lists = ADAPTER_SETTINGS["step_and_variance"]
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_a = sampler_a.sample_chains(
+        24, 16, _init_states(n_chain), adapters=adapter_lists(),
+        display_progress=False,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_b = sampler_b.sample_chains(
+        24, 16, _init_states(n_chain), adapters=adapter_lists(),
+        mesh=mesh, display_progress=False,
+    )
+    np.testing.assert_allclose(
+        out_a.traces["pos"], out_b.traces["pos"], atol=1e-8,
+    )
+    # the cross-chain-reduced adapted metric agrees
+    metric_a = sampler_a.system.metric.diagonal
+    metric_b = sampler_b.system.metric.diagonal
+    np.testing.assert_allclose(
+        np.asarray(metric_a), np.asarray(metric_b), rtol=1e-10,
+    )
+
+
 def test_adaptation_error_on_bad_target():
     """NaN Hamiltonian at init surfaces as AdaptationError."""
 
@@ -349,3 +380,40 @@ def test_generic_method_with_three_transitions():
     n_long = out.statistics["hmc_long"]["n_step"]
     assert np.all(n_short == 3)
     assert np.all(n_long == 7)
+
+
+def test_ignored_parallelism_kwargs_warn():
+    """The reference's pool kwargs are accepted but warned-about, since
+    chains always execute as one vectorized device program."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system, step_size=0.5)
+    sampler = samplers.StaticMetropolisHMC(system, integ, SEED, n_step=2)
+    with pytest.warns(UserWarning, match="n_worker.*mesh"):
+        sampler.sample_chains(
+            0, 2, _init_states(2), n_worker=4, adapters=None,
+            display_progress=False,
+        )
+    # default values don't warn
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        sampler.sample_chains(
+            0, 2, _init_states(2), adapters=None, display_progress=False,
+        )
+
+
+def test_stage_flag_logging(caplog):
+    """Failure-flag statistics are summarized to the module logger
+    (replacing the reference's per-step integrator-error logging)."""
+    import logging
+
+    system, _ = _make_system()
+    # absurd step size: essentially every NUTS step diverges
+    integ = integrators.LeapfrogIntegrator(system, step_size=100.0)
+    sampler = samplers.DynamicMultinomialHMC(
+        system, integ, SEED, max_tree_depth=3)
+    with caplog.at_level(logging.INFO, logger="mici_tpu.samplers"):
+        sampler.sample_chains(
+            0, 10, _init_states(2), adapters=None, display_progress=False,
+        )
+    assert any("diverging" in rec.message for rec in caplog.records)
