@@ -4,8 +4,9 @@ Reference: mici/utils.py.  The reference's ``LogRepFloat`` (a log-domain
 positive scalar used for NUTS multinomial tree weights, mici/utils.py:85-200)
 is unnecessary here: inside compiled code all tree weights are carried
 directly in log space and combined with :func:`log_sum_exp` /
-:func:`log_diff_exp`.  A thin ``LogRepFloat`` shim is still exported for API
-parity with host-side user code.
+:func:`log_diff_exp`.  A host-side ``LogRepFloat`` shim lives in
+:mod:`mici_tpu.compat` and is re-exported here for reference import parity
+(``mici.utils.LogRepFloat``).
 """
 
 from __future__ import annotations
@@ -65,95 +66,10 @@ def log_diff_exp(val1, val2):
     return val1 + log1m_exp(val2 - val1)
 
 
-class LogRepFloat:
-    """Positive scalar represented on a logarithmic scale (host-side shim).
+# Re-exported for reference import parity (mici/utils.py exports LogRepFloat).
+from mici_tpu.compat import LogRepFloat  # noqa: E402
 
-    Reference: mici/utils.py:85-200.  In compiled sampling code log-space
-    scalars are plain arrays; this class exists only so host-side user code
-    written against the reference API keeps working.
-    """
-
-    def __init__(self, val=None, log_val=None):
-        if log_val is None:
-            if val is None:
-                msg = "One of val or log_val must be specified."
-                raise ValueError(msg)
-            if val > 0:
-                self.log_val = np.log(val)
-            elif val == 0:
-                self.log_val = -np.inf
-            else:
-                msg = "val must be non-negative."
-                raise ValueError(msg)
-        else:
-            if val is not None:
-                msg = "Specify only one of val and log_val."
-                raise ValueError(msg)
-            self.log_val = log_val
-
-    @property
-    def val(self):
-        return np.exp(self.log_val)
-
-    def __add__(self, other):
-        if isinstance(other, LogRepFloat):
-            return LogRepFloat(log_val=np.logaddexp(self.log_val, other.log_val))
-        return self.val + other
-
-    __radd__ = __add__
-
-    def __sub__(self, other):
-        if isinstance(other, LogRepFloat):
-            if self.log_val >= other.log_val:
-                with np.errstate(divide="ignore"):
-                    return LogRepFloat(
-                        log_val=float(
-                            log_diff_exp(self.log_val, other.log_val)
-                        ),
-                    )
-            msg = "Cannot subtract larger LogRepFloat from smaller."
-            raise ValueError(msg)
-        return self.val - other
-
-    def __mul__(self, other):
-        if isinstance(other, LogRepFloat):
-            return LogRepFloat(log_val=self.log_val + other.log_val)
-        return self.val * other
-
-    __rmul__ = __mul__
-
-    def __truediv__(self, other):
-        if isinstance(other, LogRepFloat):
-            return LogRepFloat(log_val=self.log_val - other.log_val)
-        return self.val / other
-
-    def __lt__(self, other):
-        if isinstance(other, LogRepFloat):
-            return self.log_val < other.log_val
-        return self.val < other
-
-    def __gt__(self, other):
-        if isinstance(other, LogRepFloat):
-            return self.log_val > other.log_val
-        return self.val > other
-
-    def __le__(self, other):
-        if isinstance(other, LogRepFloat):
-            return self.log_val <= other.log_val
-        return self.val <= other
-
-    def __ge__(self, other):
-        if isinstance(other, LogRepFloat):
-            return self.log_val >= other.log_val
-        return self.val >= other
-
-    def __eq__(self, other):
-        if isinstance(other, LogRepFloat):
-            return self.log_val == other.log_val
-        return self.val == other
-
-    def __hash__(self):
-        return hash(self.log_val)
-
-    def __repr__(self):
-        return f"LogRepFloat(val={self.val})"
+__all__ = [
+    "hash_array", "log1p_exp", "log1m_exp", "log_sum_exp", "log_diff_exp",
+    "LogRepFloat",
+]
