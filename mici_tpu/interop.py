@@ -1,14 +1,29 @@
 """Utilities for interfacing with external probabilistic programming libraries.
 
-Reference: mici/interop.py (557 LoC): ArviZ conversion, PyMC drop-in
-``sample`` replacement and Stan model sampling.  All bridges gate on
-optional dependencies exactly like the reference (mici/interop.py:20-52);
-the PyMC/Stan bridges construct JAX-callable density functions via each
-library's compiled functions wrapped with ``jax.pure_callback`` so the
-sampling loop itself still runs compiled on device.
+Reference: mici/interop.py (557 LoC): ArviZ conversion (InferenceData for
+arviz < 1.0, xarray DataTree for arviz >= 1.0), a PyMC drop-in ``sample``
+replacement and Stan model sampling with CmdStan-style arguments.  All
+bridges gate on optional dependencies exactly like the reference
+(mici/interop.py:20-52).
+
+TPU-native differences from the reference:
+
+* PyMC models are translated **natively to JAX** through PyTensor's JAX
+  backend when possible (``pymc.sampling.jax.get_jaxified_logp`` /
+  ``get_jaxified_graph``), so the posterior density, its gradient and the
+  constrained-parameter trace functions are ordinary traceable JAX
+  functions — chains vectorize on device instead of serializing through a
+  host callback.  A ``jax.pure_callback`` fallback covers models whose
+  graphs contain ops without JAX dispatch rules.
+* Stan models are bridged through ``bridgestan`` (an in-process
+  log-density/gradient C interface) wrapped with ``jax.pure_callback``,
+  rather than the reference's ``pystan`` HTTP service.
 """
 
 from __future__ import annotations
+
+import importlib
+import os
 
 import numpy as np
 
@@ -23,74 +38,203 @@ def _require(module_name):
         raise ImportError(msg) from e
 
 
+def _parse_version(version):
+    from packaging.version import parse
+
+    return parse(version)
+
+
+def _preprocess_stats(traces, stats, energy_key, lp_key):
+    """Normalize statistic names to the ArviZ schema.
+
+    Reference: mici/interop.py:30-45 (``n_step`` -> ``n_steps``,
+    ``accept_stat`` -> ``acceptance_rate``, energy/lp lifted from traces).
+    """
+    stats = dict(stats)
+    if "n_step" in stats:
+        stats["n_steps"] = stats.pop("n_step")
+    if "accept_stat" in stats:
+        stats["acceptance_rate"] = stats.pop("accept_stat")
+    if energy_key is not None and energy_key in traces:
+        stats["energy"] = traces[energy_key]
+    if lp_key is not None and lp_key in traces:
+        stats["lp"] = traces[lp_key]
+    return stats
+
+
+def _stack_arrays(data_dict):
+    """Coerce per-chain array lists / stacked arrays to stacked ndarrays.
+
+    Reference: mici/interop.py:48-52.  The TPU sampler already returns
+    chain-stacked arrays; per-chain lists (reference format) are stacked.
+    """
+    out = {}
+    for key, val in data_dict.items():
+        if isinstance(val, (list, tuple)):
+            val = np.stack([np.asarray(v) for v in val])
+        out[key] = np.asarray(val)
+    return out
+
+
 def convert_to_inference_data(traces, stats, energy_key="hamiltonian",
                               lp_key="lp"):
     """Convert chain trace and statistics data to an ArviZ InferenceData.
 
-    Reference: mici/interop.py:54-96.
+    Reference: mici/interop.py:54-96.  Requires arviz < 1.0 (InferenceData
+    was removed in ArviZ v1.0+ in favour of ``xarray.DataTree``; use
+    :func:`convert_to_data_tree` there).
 
     Args:
         traces: Traces dict from a ``sample_chains`` call: arrays (or lists
             of per-chain arrays) of shape ``(n_chain, n_iter, ...)``.
         stats: Statistics dict from a ``sample_chains`` call.
-        energy_key: Trace key treated as the energy sample statistic.
+        energy_key: Trace key treated as the energy sample statistic
+            (default ``"hamiltonian"``, the name recorded by the default
+            trace function).
         lp_key: Trace key treated as the log-probability sample statistic.
 
     Returns:
         ``arviz.InferenceData`` with posterior and sample_stats groups.
     """
     az = _require("arviz")
-    posterior = {}
-    sample_stats = {}
-    for key, val in traces.items():
-        arr = np.asarray(val)
-        if key == energy_key:
-            sample_stats["energy"] = arr
-        elif key == lp_key:
-            sample_stats["lp"] = arr
-        else:
-            posterior[key] = arr
-    rename = {
-        "accept_stat": "acceptance_rate",
-        "n_step": "n_steps",
-        "tree_depth": "tree_depth",
-        "diverging": "diverging",
-        "step_size": "step_size",
-    }
-    for key, val in stats.items():
-        name = rename.get(key, key)
-        sample_stats[name] = np.asarray(val)
-    return az.from_dict(posterior=posterior, sample_stats=sample_stats)
+    if _parse_version(az.__version__) >= _parse_version("1.0.0"):
+        msg = (
+            "InferenceData was removed in ArviZ v1.0+ in favour of "
+            "xarray.DataTree; use convert_to_data_tree instead."
+        )
+        raise RuntimeError(msg)
+    sample_stats = _preprocess_stats(traces, stats, energy_key, lp_key)
+    return az.from_dict(
+        posterior=_stack_arrays(traces),
+        sample_stats=_stack_arrays(sample_stats),
+    )
 
 
-def convert_to_data_tree(traces, stats, **kwargs):
-    """Convert chain data to an ArviZ DataTree (arviz >= 1.0).
+def convert_to_data_tree(traces, stats, energy_key="hamiltonian",
+                         lp_key="lp"):
+    """Convert chain data to an ArviZ ``xarray.DataTree`` (arviz >= 1.0).
 
     Reference: mici/interop.py:99-143.
+
+    Args:
+        traces: Traces dict from a ``sample_chains`` call.
+        stats: Statistics dict from a ``sample_chains`` call.
+        energy_key: Trace key treated as the energy sample statistic.
+        lp_key: Trace key treated as the log-probability sample statistic.
+
+    Returns:
+        ``xarray.DataTree`` with ``posterior`` and ``sample_stats`` groups.
     """
-    return convert_to_inference_data(traces, stats, **kwargs)
+    az = _require("arviz")
+    if _parse_version(az.__version__) < _parse_version("1.0.0"):
+        msg = "xarray.DataTree support requires ArviZ v1.0+"
+        raise RuntimeError(msg)
+    sample_stats = _preprocess_stats(traces, stats, energy_key, lp_key)
+    return az.from_dict(
+        {
+            "posterior": _stack_arrays(traces),
+            "sample_stats": _stack_arrays(sample_stats),
+        },
+    )
 
 
-def construct_pymc_model_functions(model):
-    """Construct functions for sampling from a PyMC model.
+# ---------------------------------------------------------------------------
+# PyMC bridge
+# ---------------------------------------------------------------------------
 
-    Reference: mici/interop.py:146-197.  Returns ``(neg_log_dens,
-    grad_neg_log_dens, trace_func)`` operating on the flat unconstrained
-    parameter vector; the PyMC-compiled logp/dlogp callables are exposed to
-    compiled sampling code through ``jax.pure_callback``.
+
+def _point_map_entries(raveled_point):
+    """Yield ``(name, shape, size)`` for each flat-vector block.
+
+    Handles both pymc ``point_map_info`` layouts: ``(name, shape, size,
+    dtype)`` (pymc >= 5) and ``(name, shape, dtype)``.
+    """
+    entries = []
+    for info in raveled_point.point_map_info:
+        name, shape = info[0], tuple(int(s) for s in info[1])
+        size = (int(info[2]) if len(info) >= 4
+                else int(np.prod(shape)) if shape else 1)
+        entries.append((name, shape, size))
+    return entries
+
+
+def _construct_pymc_model_functions_jax(model, pm):
+    """Native PyTensor->JAX translation of a PyMC model.
+
+    Uses ``pymc.sampling.jax.get_jaxified_logp`` / ``get_jaxified_graph``
+    so the density, gradient and trace functions are jax-traceable: chains
+    vectorize on device (no host callback in the hot loop).
+    """
+    import jax
+    import jax.numpy as jnp
+    from pymc.sampling.jax import get_jaxified_graph, get_jaxified_logp
+
+    initial_point = model.initial_point()
+    raveled = pm.blocking.DictToArrayBijection.map(initial_point)
+    entries = _point_map_entries(raveled)
+
+    def _split(pos):
+        parts = []
+        offset = 0
+        for _name, shape, size in entries:
+            parts.append(jnp.reshape(pos[offset:offset + size], shape))
+            offset += size
+        return parts
+
+    logp_fn = get_jaxified_logp(model)
+
+    def neg_log_dens(pos):
+        return -logp_fn(_split(pos))
+
+    _val_and_grad = jax.value_and_grad(neg_log_dens)
+
+    def grad_neg_log_dens(pos):
+        val, grad = _val_and_grad(pos)
+        return grad, val
+
+    # Trace the *unobserved value variables* (constrained parameters and
+    # deterministics) exactly like the reference trace function
+    # (mici/interop.py:178-195), but as one jax-traceable graph.
+    trace_vars = model.unobserved_value_vars
+    trace_names = [var.name for var in trace_vars]
+    trace_fn = get_jaxified_graph(
+        inputs=model.value_vars, outputs=trace_vars,
+    )
+
+    def trace_func(state):
+        outs = trace_fn(*_split(state.pos))
+        trace_dict = dict(zip(trace_names, outs))
+        trace_dict["lp"] = -neg_log_dens(state.pos)
+        return trace_dict
+
+    return neg_log_dens, grad_neg_log_dens, trace_func
+
+
+def _construct_pymc_model_functions_callback(model, pm):
+    """Host-callback bridge for models PyTensor cannot lower to JAX.
+
+    The compiled C logp/dlogp function is exposed to compiled sampling
+    code through ``jax.pure_callback`` (chains serialize through the
+    callback; prefer the JAX translation when available).
     """
     import jax
     import jax.numpy as jnp
 
-    _require("pymc")
-
     logp_dlogp_fn = model.logp_dlogp_function(mode="FAST_RUN")
     logp_dlogp_fn.set_extra_values({})
-    dim = logp_dlogp_fn.size
-    dtype = np.float64
+    initial_point = model.initial_point()
+    raveled = pm.blocking.DictToArrayBijection.map(initial_point)
+    entries = _point_map_entries(raveled)
+    dim = sum(size for _n, _s, size in entries)
+    # Callback results must use the canonical JAX float dtype: 64-bit
+    # result shapes are rejected when x64 is disabled (the default f32
+    # library mode); the host side computes in f64 and casts.
+    import jax.numpy as _jnp
+
+    dtype = np.dtype(_jnp.result_type(float))
 
     def _host_val_and_grad(q):
-        val, grad = logp_dlogp_fn(np.asarray(q, dtype))
+        val, grad = logp_dlogp_fn(np.asarray(q, np.float64))
         return np.asarray(-val, dtype), np.asarray(-grad, dtype)
 
     def grad_neg_log_dens(q):
@@ -105,42 +249,79 @@ def construct_pymc_model_functions(model):
     def neg_log_dens(q):
         return grad_neg_log_dens(q)[1]
 
-    var_names = [v.name for v in model.value_vars]
+    def _split(pos):
+        parts = []
+        offset = 0
+        for _name, shape, size in entries:
+            parts.append(jnp.reshape(pos[offset:offset + size], shape))
+            offset += size
+        return parts
+
+    names = [name for name, _s, _z in entries]
 
     def trace_func(state):
-        return {"pos": state.pos, **{
-            name: val for name, val in zip(
-                var_names, _split_flat(state.pos, model),
-            )
-        }}
+        trace_dict = dict(zip(names, _split(state.pos)))
+        trace_dict["lp"] = -neg_log_dens(state.pos)
+        return trace_dict
 
     return neg_log_dens, grad_neg_log_dens, trace_func
 
 
-def _split_flat(pos, model):
-    """Split flat parameter vector according to PyMC value var shapes."""
-    import jax.numpy as jnp
+def construct_pymc_model_functions(model):
+    """Construct functions for sampling from a PyMC model.
 
-    parts = []
-    offset = 0
-    for var in model.value_vars:
-        shape = tuple(
-            int(s) for s in model.initial_point()[var.name].shape
-        )
-        size = int(np.prod(shape)) if shape else 1
-        parts.append(jnp.reshape(pos[offset:offset + size], shape))
-        offset += size
-    return parts
+    Reference: mici/interop.py:146-197.  Returns ``(neg_log_dens,
+    grad_neg_log_dens, trace_func)`` operating on the flat unconstrained
+    parameter vector.  The model graph is translated natively to JAX via
+    PyTensor's JAX backend where possible (density/gradient/trace evaluate
+    on device, vectorized over chains); models containing ops without JAX
+    dispatch rules fall back to a ``jax.pure_callback`` bridge around the
+    PyMC-compiled C functions.
+    """
+    pm = _require("pymc")
+    try:
+        return _construct_pymc_model_functions_jax(model, pm)
+    except (ImportError, NotImplementedError):
+        return _construct_pymc_model_functions_callback(model, pm)
 
 
-def sample_pymc_model(model, *, draws=1000, tune=1000, chains=4,
-                      random_seed=None, progressbar=True,
-                      init="auto", jitter_max_retries=10, return_inferencedata=False,
-                      target_accept=0.8, max_treedepth=10):
+def sample_pymc_model(draws=1000, *, tune=1000, chains=None, cores=None,
+                      random_seed=None, progressbar=True, init="auto",
+                      jitter_max_retries=10, return_inferencedata=False,
+                      model=None, target_accept=0.8, max_treedepth=10):
     """Generate approximate samples from posterior defined by a PyMC model.
 
     Drop-in replacement for ``pymc.sample`` using the TPU-native dynamic
-    multinomial HMC sampler.  Reference: mici/interop.py:200-351.
+    multinomial HMC sampler.  Reference: mici/interop.py:200-351 (argument
+    names and semantics mirrored, including the ``init`` strategies and
+    jittered-initialization retries).
+
+    Args:
+        draws: Number of (post warm-up) samples to draw per chain.
+        tune: Number of adaptive warm-up iterations per chain.
+        chains: Number of chains; defaults to ``max(2, cores)``.
+        cores: Accepted for API parity (chains always execute as one
+            vectorized device program); only used for the ``chains``
+            default.
+        random_seed: Seed for the NumPy generator deriving the PRNG key.
+        progressbar: Whether to display progress bars.
+        init: One of ``"auto"``, ``"adapt_diag"``, ``"jitter+adapt_diag"``,
+            ``"adapt_full"``, ``"jitter+adapt_full"``: whether to adapt a
+            diagonal or dense metric, and whether to jitter the initial
+            states uniformly in [-1, 1].  ``"auto"`` resolves to
+            ``"jitter+adapt_diag"``.
+        jitter_max_retries: Maximum attempts (per chain) at drawing a
+            jittered initial state with finite density.
+        return_inferencedata: Return an ``arviz.InferenceData`` instead of
+            a traces dict.
+        model: PyMC model (or None inside a model context manager).
+        target_accept: Dual-averaging target acceptance statistic.
+        max_treedepth: Maximum NUTS trajectory tree depth.
+
+    Returns:
+        Dict mapping traced variable names to stacked ``(chains, draws,
+        ...)`` arrays, or an ``arviz.InferenceData`` when
+        ``return_inferencedata=True``.
     """
     import jax.numpy as jnp
 
@@ -150,6 +331,27 @@ def sample_pymc_model(model, *, draws=1000, tune=1000, chains=4,
     from mici_tpu import systems as _systems
 
     pm = _require("pymc")
+    if return_inferencedata and importlib.util.find_spec("arviz") is None:
+        msg = "Cannot return InferenceData as ArviZ is not installed"
+        raise ValueError(msg)
+
+    model = pm.modelcontext(model)
+
+    # Defaults mirroring pymc.sample (mici/interop.py:296-298); cores only
+    # affects the chains default here.
+    cores = min(4, max(1, (os.cpu_count() or 2) // 2)) if cores is None \
+        else cores
+    chains = max(2, cores) if chains is None else chains
+
+    init = "jitter+adapt_diag" if init == "auto" else init
+    valid_inits = ("jitter+adapt_diag", "jitter+adapt_full", "adapt_diag",
+                   "adapt_full")
+    if init not in valid_inits:
+        msg = ('init must be "auto", "jitter+adapt_diag", "adapt_diag", '
+               '"jitter+adapt_full" or "adapt_full"')
+        raise ValueError(msg)
+    use_dense_metric = "adapt_full" in init
+    jitter_init = "jitter" in init
 
     with model:
         neg_log_dens, grad_neg_log_dens, trace_func = (
@@ -159,31 +361,56 @@ def sample_pymc_model(model, *, draws=1000, tune=1000, chains=4,
             neg_log_dens, grad_neg_log_dens=grad_neg_log_dens,
         )
         integrator = _integrators.LeapfrogIntegrator(system)
-        seed = 0 if random_seed is None else random_seed
+        rng = np.random.default_rng(random_seed)
+        seed = int(rng.integers(2**31 - 1))
         sampler = _samplers.DynamicMultinomialHMC(
             system, integrator, seed, max_tree_depth=max_treedepth,
         )
-        point = model.initial_point()
-        flat = np.concatenate([
-            np.asarray(point[v.name], np.float64).ravel()
-            for v in model.value_vars
-        ])
-        rng = np.random.default_rng(seed)
-        init_states = [
-            flat + 0.9 * rng.standard_normal(flat.shape)
-            for _ in range(chains)
-        ]
+        step_size_adapter = _adapters.DualAveragingStepSizeAdapter(
+            target_accept,
+        )
+        metric_adapter = (
+            _adapters.OnlineCovarianceMetricAdapter() if use_dense_metric
+            else _adapters.OnlineVarianceMetricAdapter()
+        )
+
+        initial_point = model.initial_point()
+        raveled = pm.blocking.DictToArrayBijection.map(initial_point)
+        mean = np.asarray(raveled.data, dtype=np.float64).copy()
+        if jitter_init:
+            # Uniform [-1, 1] jitter, retrying per chain until the density
+            # is finite (mici/interop.py:325-335).
+            init_states = []
+            for _c in range(chains):
+                pos = mean
+                for _t in range(jitter_max_retries):
+                    pos = mean + rng.uniform(-1, 1, mean.shape)
+                    if np.isfinite(
+                        float(np.asarray(neg_log_dens(jnp.asarray(pos)))),
+                    ):
+                        break
+                init_states.append(pos)
+        else:
+            init_states = [mean.copy() for _c in range(chains)]
+
         out = sampler.sample_chains(
             tune, draws, init_states,
-            adapters=[
-                _adapters.DualAveragingStepSizeAdapter(target_accept),
-                _adapters.OnlineVarianceMetricAdapter(),
-            ],
+            adapters=[step_size_adapter, metric_adapter],
+            trace_funcs=[trace_func],
             display_progress=progressbar,
+            monitor_stats=["accept_stat", "n_step", "diverging"],
         )
+
     if return_inferencedata:
-        return convert_to_inference_data(out.traces, out.statistics)
-    return out
+        return convert_to_inference_data(
+            out.traces, out.statistics, energy_key=None,
+        )
+    return {key: np.asarray(val) for key, val in out.traces.items()}
+
+
+# ---------------------------------------------------------------------------
+# Stan bridge
+# ---------------------------------------------------------------------------
 
 
 def construct_stan_model_functions(model):
@@ -191,16 +418,22 @@ def construct_stan_model_functions(model):
 
     Reference: mici/interop.py:375-414.  ``model`` should be a
     ``bridgestan``-style object exposing ``log_density_gradient`` /
-    ``param_unc_num``.
+    ``param_unc_num`` (and optionally ``param_constrain`` /
+    ``param_names`` for constrained-parameter tracing).
     """
     import jax
-    import jax.numpy as jnp
+    import jax.numpy as jnp  # noqa: F401 - kept for parity with callers
 
     dim = model.param_unc_num()
-    dtype = np.float64
+    # Callback results must use the canonical JAX float dtype: 64-bit
+    # result shapes are rejected when x64 is disabled (the default f32
+    # library mode); the host side computes in f64 and casts.
+    import jax.numpy as _jnp
+
+    dtype = np.dtype(_jnp.result_type(float))
 
     def _host_val_and_grad(q):
-        val, grad = model.log_density_gradient(np.asarray(q, dtype))
+        val, grad = model.log_density_gradient(np.asarray(q, np.float64))
         return np.asarray(-val, dtype), np.asarray(-grad, dtype)
 
     def grad_neg_log_dens(q):
@@ -215,24 +448,95 @@ def construct_stan_model_functions(model):
     def neg_log_dens(q):
         return grad_neg_log_dens(q)[1]
 
-    def trace_func(state):
-        return {"pos": state.pos}
+    # Constrained-parameter tracing (mici/interop.py:398-411): bridgestan
+    # exposes the constraining transform as ``param_constrain``.
+    can_constrain = hasattr(model, "param_constrain") and hasattr(
+        model, "param_num",
+    )
+    if can_constrain:
+        n_param = int(model.param_num())
+
+        def _host_constrain(q):
+            return np.asarray(
+                model.param_constrain(np.asarray(q, np.float64)), dtype,
+            )
+
+        def trace_func(state):
+            params = jax.pure_callback(
+                _host_constrain,
+                jax.ShapeDtypeStruct((n_param,), dtype),
+                state.pos,
+                vmap_method="sequential",
+            )
+            return {
+                "pos": state.pos,
+                "params": params,
+                "lp": -neg_log_dens(state.pos),
+            }
+    else:
+        def trace_func(state):
+            return {"pos": state.pos, "lp": -neg_log_dens(state.pos)}
 
     return neg_log_dens, grad_neg_log_dens, trace_func
 
 
 def sample_stan_model(model_code_or_model, data=None, *, num_samples=1000,
-                      num_warmup=1000, num_chains=4, seed=None,
-                      adapt_delta=0.8, max_depth=10, display_progress=True):
+                      num_warmup=1000, num_chains=4, save_warmup=False,
+                      metric="diag_e", stepsize=1.0, adapt_engaged=True,
+                      delta=0.8, gamma=0.05, kappa=0.75, t0=10,
+                      init_buffer=75, term_buffer=50, window=25,
+                      max_depth=10, seed=None, return_inferencedata=False,
+                      display_progress=True):
     """Generate samples from a Stan model (CmdStan-style arguments).
 
-    Reference: mici/interop.py:417-557.  Requires ``bridgestan`` (preferred)
-    or an object exposing the bridgestan model interface.
+    Reference: mici/interop.py:417-557.  The full CmdStan adaptation
+    argument surface is mirrored: ``metric`` selects the adapted metric
+    representation, ``delta``/``gamma``/``kappa``/``t0`` parameterize dual
+    averaging, and ``init_buffer``/``term_buffer``/``window`` parameterize
+    the Stan-style windowed warm-up schedule.  Models are bridged through
+    ``bridgestan`` (preferred) or any object exposing the bridgestan model
+    interface.
+
+    Args:
+        model_code_or_model: Path to a ``.stan`` file (compiled with
+            ``bridgestan``), or a prebuilt bridgestan-style model object.
+        data: Data dictionary / path for the model (when compiling).
+        num_samples: Non-warm-up iterations per chain.
+        num_warmup: Warm-up iterations per chain.
+        num_chains: Number of Markov chains.
+        save_warmup: Record warm-up traces/statistics.
+        metric: One of ``"unit_e"``, ``"diag_e"``, ``"dense_e"``.
+        stepsize: Initial integrator step size.
+        adapt_engaged: Whether warm-up adaptation is enabled.
+        delta: Adaptation target acceptance statistic.
+        gamma: Adaptation regularization scale.
+        kappa: Adaptation relaxation exponent.
+        t0: Adaptation iteration offset.
+        init_buffer: Width of initial fast adaptation interval.
+        term_buffer: Width of final fast adaptation interval.
+        window: Initial width of slow adaptation interval.
+        max_depth: Maximum NUTS trajectory tree depth.
+        seed: Seed for the NumPy generator deriving the PRNG key.
+        return_inferencedata: Return an ``arviz.InferenceData``.
+        display_progress: Whether to display progress bars.
+
+    Returns:
+        Dict mapping traced variable names to stacked ``(chains, draws,
+        ...)`` arrays, or an ``arviz.InferenceData`` when
+        ``return_inferencedata=True``.
     """
     from mici_tpu import adapters as _adapters
     from mici_tpu import integrators as _integrators
     from mici_tpu import samplers as _samplers
+    from mici_tpu import stagers as _stagers
     from mici_tpu import systems as _systems
+
+    if return_inferencedata and importlib.util.find_spec("arviz") is None:
+        msg = "Cannot return InferenceData as ArviZ is not installed"
+        raise ValueError(msg)
+    if metric not in ("unit_e", "diag_e", "dense_e"):
+        msg = 'metric must be one of "unit_e", "diag_e" or "dense_e"'
+        raise ValueError(msg)
 
     if isinstance(model_code_or_model, str):
         bridgestan = _require("bridgestan")
@@ -247,21 +551,53 @@ def sample_stan_model(model_code_or_model, data=None, *, num_samples=1000,
     system = _systems.EuclideanMetricSystem(
         neg_log_dens, grad_neg_log_dens=grad_neg_log_dens,
     )
-    integrator = _integrators.LeapfrogIntegrator(system)
+    integrator = _integrators.LeapfrogIntegrator(system, step_size=stepsize)
+    rng = np.random.default_rng(seed)
     sampler = _samplers.DynamicMultinomialHMC(
-        system, integrator, 0 if seed is None else seed,
+        system, integrator, int(rng.integers(2**31 - 1)),
         max_tree_depth=max_depth,
     )
-    dim = model.param_unc_num()
-    rng = np.random.default_rng(seed)
-    init_states = [
-        rng.standard_normal(dim) for _ in range(num_chains)
-    ]
-    return sampler.sample_chains(
+
+    if adapt_engaged:
+        adapters = [
+            _adapters.DualAveragingStepSizeAdapter(
+                adapt_stat_target=delta,
+                iter_offset=t0,
+                iter_decay_coeff=kappa,
+                log_step_size_reg_coefficient=gamma,
+            ),
+        ]
+        if metric == "diag_e":
+            adapters.append(_adapters.OnlineVarianceMetricAdapter())
+        elif metric == "dense_e":
+            adapters.append(_adapters.OnlineCovarianceMetricAdapter())
+        if len(adapters) > 1:
+            stager = _stagers.WindowedWarmUpStager(
+                n_init_fast_stage_iter=init_buffer,
+                n_final_fast_stage_iter=term_buffer,
+                n_init_slow_window_iter=window,
+            )
+        else:
+            stager = _stagers.WarmUpStager()
+    else:
+        adapters = None
+        stager = None
+
+    dim_u = model.param_unc_num()
+    init_states = rng.uniform(-2, 2, size=(num_chains, dim_u))
+
+    out = sampler.sample_chains(
         num_warmup, num_samples, init_states,
-        adapters=[
-            _adapters.DualAveragingStepSizeAdapter(adapt_delta),
-            _adapters.OnlineVarianceMetricAdapter(),
-        ],
+        adapters=adapters,
+        stager=stager,
+        trace_funcs=[trace_func],
         display_progress=display_progress,
+        monitor_stats=["accept_stat", "n_step", "diverging"],
+        trace_warm_up=save_warmup,
     )
+
+    if return_inferencedata:
+        return convert_to_inference_data(
+            out.traces, out.statistics, energy_key=None,
+        )
+    return {key: np.asarray(val) for key, val in out.traces.items()}

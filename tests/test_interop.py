@@ -1,8 +1,14 @@
 """Tests for external-library interop (gated on optional dependencies).
 
 Mirrors reference test strategy (mici tests/test_interop.py): gate on
-availability and otherwise verify clean failure modes.
+availability and otherwise verify clean failure modes.  The ArviZ version
+gating and conversion preprocessing are additionally tested against fake
+arviz modules, and the Stan bridge end-to-end against a fake
+bridgestan-style model (the `pure_callback` machinery runs for real).
 """
+
+import sys
+import types
 
 import numpy as np
 import pytest
@@ -24,13 +30,18 @@ except ImportError:
     PYMC_AVAILABLE = False
 
 
-@pytest.mark.skipif(not ARVIZ_AVAILABLE, reason="arviz not installed")
-def test_convert_to_inference_data():
+def _traces_and_stats():
     traces = {
         "pos": np.zeros((2, 10, 3)),
         "hamiltonian": np.zeros((2, 10)),
     }
     stats = {"accept_stat": np.ones((2, 10)), "n_step": np.ones((2, 10))}
+    return traces, stats
+
+
+@pytest.mark.skipif(not ARVIZ_AVAILABLE, reason="arviz not installed")
+def test_convert_to_inference_data():
+    traces, stats = _traces_and_stats()
     idata = interop.convert_to_inference_data(traces, stats)
     assert "posterior" in idata.groups()
     assert idata.posterior["pos"].shape == (2, 10, 3)
@@ -40,12 +51,95 @@ def test_convert_to_inference_data():
 def test_convert_without_arviz_raises_import_error():
     with pytest.raises(ImportError, match="arviz"):
         interop.convert_to_inference_data({}, {})
+    with pytest.raises(ImportError, match="arviz"):
+        interop.convert_to_data_tree({}, {})
+
+
+class _FakeArviz(types.ModuleType):
+    def __init__(self, version):
+        super().__init__("arviz")
+        self.__version__ = version
+        self.calls = []
+
+    def from_dict(self, *args, **kwargs):
+        self.calls.append((args, kwargs))
+        return ("fake-result", args, kwargs)
+
+
+@pytest.fixture
+def fake_arviz(monkeypatch):
+    def install(version):
+        mod = _FakeArviz(version)
+        monkeypatch.setitem(sys.modules, "arviz", mod)
+        return mod
+
+    return install
+
+
+def test_inference_data_rejected_on_arviz_v1(fake_arviz):
+    """InferenceData was removed in ArviZ 1.0 (mici/interop.py:88-91)."""
+    fake_arviz("1.2.0")
+    traces, stats = _traces_and_stats()
+    with pytest.raises(RuntimeError, match="DataTree"):
+        interop.convert_to_inference_data(traces, stats)
+
+
+def test_data_tree_rejected_on_old_arviz(fake_arviz):
+    fake_arviz("0.17.0")
+    traces, stats = _traces_and_stats()
+    with pytest.raises(RuntimeError, match="ArviZ v1.0"):
+        interop.convert_to_data_tree(traces, stats)
+
+
+def test_data_tree_conversion_payload(fake_arviz):
+    """DataTree conversion builds a real grouped payload with the ArviZ
+    statistic-name schema (mici/interop.py:30-45, :99-143)."""
+    mod = fake_arviz("1.0.0")
+    traces, stats = _traces_and_stats()
+    interop.convert_to_data_tree(traces, stats)
+    ((args, _kwargs),) = [(c[0], c[1]) for c in mod.calls]
+    payload = args[0]
+    assert set(payload) == {"posterior", "sample_stats"}
+    assert payload["posterior"]["pos"].shape == (2, 10, 3)
+    sample_stats = payload["sample_stats"]
+    # n_step -> n_steps, accept_stat -> acceptance_rate, energy lifted
+    # from the hamiltonian trace
+    assert "n_steps" in sample_stats and "n_step" not in sample_stats
+    assert ("acceptance_rate" in sample_stats
+            and "accept_stat" not in sample_stats)
+    assert sample_stats["energy"].shape == (2, 10)
+
+
+def test_inference_data_conversion_payload(fake_arviz):
+    mod = fake_arviz("0.16.1")
+    traces, stats = _traces_and_stats()
+    interop.convert_to_inference_data(traces, stats)
+    ((_args, kwargs),) = [(c[0], c[1]) for c in mod.calls]
+    assert kwargs["posterior"]["pos"].shape == (2, 10, 3)
+    assert "acceptance_rate" in kwargs["sample_stats"]
+
+
+def test_preprocess_accepts_per_chain_lists():
+    """Reference trace format (list of per-chain arrays) is stacked."""
+    stacked = interop._stack_arrays(
+        {"pos": [np.zeros((10, 3)), np.zeros((10, 3))]},
+    )
+    assert stacked["pos"].shape == (2, 10, 3)
 
 
 @pytest.mark.skipif(PYMC_AVAILABLE, reason="pymc installed")
 def test_pymc_bridge_without_pymc_raises_import_error():
     with pytest.raises(ImportError):
-        interop.sample_pymc_model(None)
+        interop.sample_pymc_model(draws=10)
+
+
+def test_pymc_invalid_init_rejected(monkeypatch):
+    """init validation happens for any model (mici/interop.py:303-308)."""
+    fake_pm = types.ModuleType("pymc")
+    fake_pm.modelcontext = lambda model: model
+    monkeypatch.setitem(sys.modules, "pymc", fake_pm)
+    with pytest.raises(ValueError, match="init must be"):
+        interop.sample_pymc_model(draws=10, model=object(), init="bogus")
 
 
 @pytest.mark.skipif(not PYMC_AVAILABLE, reason="pymc not installed")
@@ -55,19 +149,26 @@ def test_sample_pymc_model():
     with pm.Model() as model:
         pm.Normal("x", 0.0, 1.0)
     out = interop.sample_pymc_model(
-        model, draws=10, tune=10, chains=2, progressbar=False,
+        draws=10, tune=10, chains=2, model=model, progressbar=False,
     )
-    assert out.traces["pos"].shape[0] == 2
+    assert out["x"].shape[:2] == (2, 10)
 
 
 class _FakeBridgeStanModel:
-    """Minimal bridgestan-like model: standard normal in 2D."""
+    """Minimal bridgestan-like model: standard normal in 2D with a
+    constraining transform (exp) on the second parameter."""
 
     def param_unc_num(self):
         return 2
 
+    def param_num(self):
+        return 2
+
     def log_density_gradient(self, q):
         return -0.5 * float(q @ q), -np.asarray(q)
+
+    def param_constrain(self, q):
+        return np.array([q[0], np.exp(q[1])])
 
 
 def test_sample_stan_model_with_bridgestan_interface():
@@ -75,5 +176,43 @@ def test_sample_stan_model_with_bridgestan_interface():
         _FakeBridgeStanModel(), num_samples=10, num_warmup=10,
         num_chains=2, seed=3, display_progress=False,
     )
-    assert out.traces["pos"].shape == (2, 10, 2)
-    assert np.all(np.isfinite(out.traces["pos"]))
+    assert out["pos"].shape == (2, 10, 2)
+    assert np.all(np.isfinite(out["pos"]))
+    # constrained parameters traced via param_constrain
+    assert out["params"].shape == (2, 10, 2)
+    np.testing.assert_allclose(
+        out["params"][..., 1], np.exp(out["pos"][..., 1]), rtol=1e-10,
+    )
+    # lp traced
+    np.testing.assert_allclose(
+        out["lp"], -0.5 * np.sum(out["pos"] ** 2, axis=-1), rtol=1e-10,
+    )
+
+
+def test_sample_stan_model_cmdstan_argument_surface():
+    """The CmdStan adaptation arguments are honoured: dense metric +
+    custom windowed schedule + save_warmup."""
+    out = interop.sample_stan_model(
+        _FakeBridgeStanModel(), num_samples=5, num_warmup=40,
+        num_chains=2, seed=4, metric="dense_e", save_warmup=True,
+        init_buffer=10, term_buffer=10, window=5, delta=0.9,
+        display_progress=False,
+    )
+    # warm-up draws recorded too
+    assert out["pos"].shape == (2, 45, 2)
+
+
+def test_sample_stan_model_adapt_disengaged():
+    out = interop.sample_stan_model(
+        _FakeBridgeStanModel(), num_samples=5, num_warmup=5,
+        num_chains=2, seed=5, adapt_engaged=False, stepsize=0.5,
+        display_progress=False,
+    )
+    assert out["pos"].shape == (2, 5, 2)
+
+
+def test_sample_stan_model_invalid_metric():
+    with pytest.raises(ValueError, match="metric"):
+        interop.sample_stan_model(
+            _FakeBridgeStanModel(), metric="sparse_e",
+        )
