@@ -89,6 +89,20 @@ def _make_cases():
         integrators.ImplicitLeapfrogIntegrator(
             dsystem, step_size=0.02,
             fixed_point_solver_kwargs={"convergence_tol": 1e-12}))
+    # Accelerated fixed-point solvers (Anderson / Newton) must preserve
+    # the same integrator invariants as direct iteration.
+    cases["implicit_leapfrog-softabs-anderson"] = (
+        rsystem,
+        integrators.ImplicitLeapfrogIntegrator(
+            rsystem, step_size=0.02,
+            fixed_point_solver=solvers.solve_fixed_point_anderson,
+            fixed_point_solver_kwargs={"convergence_tol": 1e-12}))
+    cases["implicit_leapfrog-softabs-newton"] = (
+        rsystem,
+        integrators.ImplicitLeapfrogIntegrator(
+            rsystem, step_size=0.02,
+            fixed_point_solver=solvers.solve_fixed_point_newton,
+            fixed_point_solver_kwargs={"convergence_tol": 1e-12}))
     cases["implicit_midpoint-softabs"] = (
         rsystem,
         integrators.ImplicitMidpointIntegrator(

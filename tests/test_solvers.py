@@ -168,3 +168,63 @@ def test_fixed_point_small_scale_residual_proportionate():
     resid = float(np.abs(np.asarray(func(x) - x)).max())
     assert resid < 5e-9
     np.testing.assert_allclose(np.asarray(x), 1e-4, rtol=1e-4)
+
+
+ACCELERATED_SOLVERS = {
+    "newton": solvers.solve_fixed_point_newton,
+    "anderson": solvers.solve_fixed_point_anderson,
+}
+
+
+@pytest.mark.parametrize("solver_name", list(ACCELERATED_SOLVERS))
+@pytest.mark.parametrize("problem", list(CONVERGENT))
+def test_accelerated_fixed_point_convergent(solver_name, problem):
+    func, x0, expected = CONVERGENT[problem]
+    solver = ACCELERATED_SOLVERS[solver_name]
+    x, error = solver(func, jnp.asarray(x0))
+    assert not bool(error)
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-7)
+
+
+@pytest.mark.parametrize("solver_name,problem", [
+    # Newton solves the linear "doubling" problem exactly (it finds the
+    # x = -1 fixed point in one step, like Steffensen), so only the
+    # quadratic problem — whose residual has no real root — is divergent.
+    ("newton", "quadratic"),
+    ("anderson", "doubling"),
+    ("anderson", "quadratic"),
+])
+def test_accelerated_fixed_point_divergent_flags(solver_name, problem):
+    func = DIVERGENT[problem]
+    solver = ACCELERATED_SOLVERS[solver_name]
+    _x, error = solver(func, jnp.full(3, 1.0))
+    assert bool(error)
+
+
+def _min_iters_to_converge(solver, func, x0, limit=100, **kwargs):
+    # minimal max_iters for which the solver clears the failure flag
+    # (iteration counts are invisible to host code inside while_loop)
+    for k in range(1, limit + 1):
+        _x, err = solver(func, jnp.asarray(x0), max_iters=k, **kwargs)
+        if not bool(err):
+            return k
+    return limit + 1
+
+
+def test_acceleration_reduces_iterations():
+    """Anderson/Newton must beat direct iteration on a slowly-contracting
+    fixed point (the motivation: fewer vmapped lockstep rounds)."""
+    # x -> cos(x): contraction factor ~0.67 — direct iteration is slow
+    func, x0, expected = CONVERGENT["cosine"]
+    n_direct = _min_iters_to_converge(
+        solvers.solve_fixed_point_direct, func, x0)
+    n_anderson = _min_iters_to_converge(
+        solvers.solve_fixed_point_anderson, func, x0)
+    n_newton = _min_iters_to_converge(
+        solvers.solve_fixed_point_newton, func, x0, limit=20)
+    assert n_anderson < n_direct
+    assert n_newton < n_direct
+    x, error = solvers.solve_fixed_point_newton(func, jnp.asarray(x0),
+                                                max_iters=10)
+    assert not bool(error)
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-7)
