@@ -26,9 +26,24 @@ CONFIGS = {
 }
 
 
-def run_config(number, n_warm=50, n_main=100):
+def run_config(number, n_warm=50, n_main=100, n_chain=None,
+               warm_compile=True):
     name, make = CONFIGS[number]
-    sampler, init_states, kwargs = make()
+    sampler, init_states, kwargs = (
+        make() if n_chain is None else make(n_chain=n_chain)
+    )
+    if warm_compile:
+        # Run once untimed so the timed run hits the executable caches
+        # (first compiles through the remote tunnel take 10-200 s and are
+        # a one-off cost in production use).  A fresh sampler of the same
+        # configuration reuses the compiled stage programs (the jitted
+        # engine is module-level and transitions hash by structure).
+        sampler_w, init_w, kwargs_w = (
+            make() if n_chain is None else make(n_chain=n_chain)
+        )
+        sampler_w.sample_chains(
+            n_warm, n_main, init_w, display_progress=False, **kwargs_w,
+        )
     t0 = time.perf_counter()
     out = sampler.sample_chains(
         n_warm, n_main, init_states, display_progress=False, **kwargs,
@@ -56,15 +71,62 @@ def run_config(number, n_warm=50, n_main=100):
     return result
 
 
+def compare_config(number, n_warm=50, n_main=100, n_chain=None,
+                   ref_n_iter=100, ref_n_warm=50, ref_n_repeat=3):
+    """TPU run + measured single-core reference denominator + ratio.
+
+    Reference ESS/sec is derived as reference iterations/sec times the
+    per-chain-iteration ESS measured on the TPU run of the identical
+    kernel (see benchmarks/reference.py docstring).
+    """
+    result = run_config(number, n_warm, n_main, n_chain)
+    if number == 3:
+        import bench
+
+        ref_rate, measured = bench.measure_reference_baseline(
+            n_repeat=ref_n_repeat,
+        )
+    else:
+        from benchmarks import reference
+
+        ref_rate, measured = reference.measure_reference(
+            number, n_iter=ref_n_iter, n_warm=ref_n_warm,
+            n_repeat=ref_n_repeat,
+        )
+    if ref_rate is not None:
+        ess_per_chain_iter = result["mean_ess"] / (
+            result["n_chain"] * result["n_main"]
+        )
+        ref_ess_per_sec = ref_rate * ess_per_chain_iter
+        result["ref_iters_per_sec"] = round(ref_rate, 2)
+        result["ref_ess_per_sec"] = round(ref_ess_per_sec, 4)
+        result["vs_reference_ess"] = round(
+            result["ess_per_sec"] / ref_ess_per_sec, 1,
+        )
+        result["ref_measured"] = measured
+    return result
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("configs", nargs="*", type=int,
                         default=[1, 2, 3, 4, 5])
     parser.add_argument("--n-warm", type=int, default=50)
     parser.add_argument("--n-main", type=int, default=100)
+    parser.add_argument("--n-chain", type=int, default=None)
+    parser.add_argument("--compare", action="store_true",
+                        help="also measure the single-core reference "
+                             "denominator and report the ESS/sec ratio")
     args = parser.parse_args()
     for number in args.configs or [1, 2, 3, 4, 5]:
-        result = run_config(number, args.n_warm, args.n_main)
+        if args.compare:
+            result = compare_config(
+                number, args.n_warm, args.n_main, args.n_chain,
+            )
+        else:
+            result = run_config(
+                number, args.n_warm, args.n_main, args.n_chain,
+            )
         print(json.dumps(result))
 
 

@@ -151,13 +151,25 @@ _JAX_BACKEND = {
     "mtp_hessian_grad_and_value": mtp_hessian_grad_and_value,
 }
 
-#: Available backends (mici/autodiff/__init__.py:80-93).  All built-in names
-#: resolve to the native JAX implementations.
+#: Available backends (mici/autodiff/__init__.py:80-93).  The built-in
+#: ``jax`` names resolve to the native JAX implementations; a ``torch``
+#: backend (the analogue of the reference's ``autograd`` backend — an AD
+#: library other than the execution framework) registers when PyTorch is
+#: importable (see mici_tpu/autodiff/torch_wrapper.py).
 BACKENDS = {
     None: _JAX_BACKEND,
     "jax": _JAX_BACKEND,
     "jax_nojit": _JAX_BACKEND,
 }
+
+try:
+    import torch as _torch_mod  # noqa: F401
+
+    from mici_tpu.autodiff import torch_wrapper as _torch_wrapper
+
+    BACKENDS["torch"] = _torch_wrapper.TORCH_BACKEND
+except ImportError:  # pragma: no cover - torch optional
+    pass
 
 
 def register_backend(name: str, ops: dict) -> None:
@@ -170,12 +182,14 @@ def register_backend(name: str, ops: dict) -> None:
 
 
 def wrap_function(function, backend=None):
-    """Apply function wrappers for a backend (identity for JAX backends).
+    """Apply function wrappers for a backend.
 
     Reference: mici/autodiff/__init__.py:108-128.  The reference applies
-    backend-specific wrappers (jit + array conversion); execution here is
-    natively JAX so registered backends need no wrapping, but an
-    unregistered backend name is still an error as in the reference.
+    backend-specific wrappers (jit + array conversion); the native JAX
+    backends need no wrapping, while foreign-framework backends (e.g.
+    ``torch``) provide a ``__wrap_function__`` hook making the user
+    function callable from compiled JAX code.  An unregistered backend
+    name is an error as in the reference.
     """
     if backend not in BACKENDS:
         msg = (
@@ -183,7 +197,8 @@ def wrap_function(function, backend=None):
             f"registered (available: {sorted(k for k in BACKENDS if k)!r})."
         )
         raise ValueError(msg)
-    return function
+    wrapper = BACKENDS[backend].get("__wrap_function__")
+    return wrapper(function) if wrapper is not None else function
 
 
 def autodiff_fallback(diff_func, func, diff_op_name: str, name: str,

@@ -148,3 +148,90 @@ def test_wrap_function_unknown_backend():
 def test_wrap_function_registered_backends_identity():
     for backend in (None, "jax", "jax_nojit"):
         assert autodiff.wrap_function(f_quartic, backend) is f_quartic
+
+
+# ---------------------------------------------------------------------------
+# torch backend (the second, foreign-framework backend; analogue of the
+# reference's autograd backend, mici/autodiff/autograd_wrapper.py)
+# ---------------------------------------------------------------------------
+
+torch = pytest.importorskip("torch")
+
+
+def t_quartic(t):
+    return 0.25 * torch.sum(t**4)
+
+
+def t_vector(t):
+    return torch.stack([torch.sum(t**2) - 1.0, t[0] * t[1]])
+
+
+def test_torch_backend_registered():
+    assert "torch" in autodiff.BACKENDS
+
+
+def test_torch_grad_and_value(q):
+    fn = autodiff.autodiff_fallback(
+        None, t_quartic, "grad_and_value", "grad", "torch")
+    grad, val = fn(jnp.asarray(q))
+    np.testing.assert_allclose(grad, grad_quartic(q), rtol=1e-6)
+    np.testing.assert_allclose(val, 0.25 * np.sum(q**4), rtol=1e-6)
+
+
+def test_torch_vjp_and_value(q):
+    vjp, val = autodiff.BACKENDS["torch"]["vjp_and_value"](t_vector)(
+        jnp.asarray(q))
+    np.testing.assert_allclose(val, np.asarray(c_vector(q)), rtol=1e-6)
+    ct = np.array([2.0, -1.0])
+    np.testing.assert_allclose(
+        vjp(ct), ct @ jac_vector(q), rtol=1e-6)
+
+
+def test_torch_jacobian_and_value(q):
+    jac, val = autodiff.BACKENDS["torch"]["jacobian_and_value"](t_vector)(
+        jnp.asarray(q))
+    np.testing.assert_allclose(jac, jac_vector(q), rtol=1e-6)
+
+
+def test_torch_mhp_jacobian_and_value(q):
+    mhp, jac, val = autodiff.BACKENDS["torch"]["mhp_jacobian_and_value"](
+        t_vector)(jnp.asarray(q))
+    np.testing.assert_allclose(jac, jac_vector(q), rtol=1e-6)
+    m = np.random.default_rng(SEED + 1).standard_normal((2, DIM))
+    expected = np.einsum("ij,ijk->k", m, hess_vector(q))
+    np.testing.assert_allclose(mhp(m), expected, rtol=1e-6, atol=1e-10)
+
+
+def test_torch_hessian_grad_and_value(q):
+    hess, grad, val = autodiff.BACKENDS["torch"][
+        "hessian_grad_and_value"](t_quartic)(jnp.asarray(q))
+    np.testing.assert_allclose(hess, hess_quartic(q), rtol=1e-6)
+    np.testing.assert_allclose(grad, grad_quartic(q), rtol=1e-6)
+
+
+def test_torch_mtp_hessian_grad_and_value(q):
+    mtp, hess, grad, val = autodiff.BACKENDS["torch"][
+        "mtp_hessian_grad_and_value"](t_quartic)(jnp.asarray(q))
+    np.testing.assert_allclose(hess, hess_quartic(q), rtol=1e-6)
+    m = np.random.default_rng(SEED + 2).standard_normal((DIM, DIM))
+    expected = np.einsum("ij,ijk->k", m, tress_quartic(q))
+    np.testing.assert_allclose(mtp(m), expected, rtol=1e-6, atol=1e-10)
+
+
+def test_torch_backend_end_to_end_sampling(q):
+    """A torch-written model samples through the compiled HMC driver."""
+    from mici_tpu import integrators, samplers, systems
+
+    def torch_nld(t):
+        return 0.5 * torch.sum(t**2)
+
+    system = systems.EuclideanMetricSystem(torch_nld, backend="torch")
+    integ = integrators.LeapfrogIntegrator(system, step_size=0.5)
+    sampler = samplers.StaticMetropolisHMC(system, integ, 42, n_step=4)
+    out = sampler.sample_chains(
+        0, 30, [q, -q], adapters=None, display_progress=False,
+    )
+    pos = np.asarray(out.traces["pos"])
+    assert pos.shape == (2, 30, DIM)
+    assert np.all(np.isfinite(pos))
+    assert not np.allclose(pos[:, 0], pos[:, -1])
