@@ -62,6 +62,25 @@ class Adapter(abc.ABC):
     def is_fast(self):
         """Whether the adapter is 'fast' (local info only) or 'slow'."""
 
+    # Adapters enter the compiled stage programs as *static* jit
+    # arguments; hashing by configuration (rather than object identity)
+    # means two identically-configured adapter instances hit the same
+    # compiled executable — users recreating adapters per run do not pay
+    # recompilations.
+    def _static_key(self):
+        return (type(self), tuple(sorted(vars(self).items())))
+
+    def __hash__(self):
+        try:
+            return hash(self._static_key())
+        except TypeError:  # unhashable attribute: fall back to identity
+            return object.__hash__(self)
+
+    def __eq__(self, other):
+        if type(other) is not type(self):
+            return NotImplemented
+        return vars(self) == vars(other)
+
 
 def arithmetic_mean_log_step_size_reducer(log_step_sizes):
     """Arithmetic mean of step sizes from their logs.

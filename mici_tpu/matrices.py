@@ -118,7 +118,11 @@ def symmetric_eigendecomposition(matrix):
         # The Jacobi kernel exists to dodge the TPU QDWH compile blowup;
         # CPU/GPU eigh compiles fine and is used as is.
         return _eigh_jacobi(matrix)
-    return jnp.linalg.eigh(matrix)
+    # Moderate sizes (9 <= n <= 32): batch-aware dispatch — vmapped chain
+    # batches on TPU hit the Pallas fixed-sweep Jacobi lane kernel
+    # (ops/batched_linalg.batched_eigh), everything else falls back to
+    # XLA's eigh.
+    return _dispatch.eigh(matrix)
 
 
 def _is_scalar(value) -> bool:

@@ -360,3 +360,158 @@ def batched_cholesky_solve(tril, rhs, *, block=_BATCH_BLOCK,
 #     B=1024 N=16: 1.70 ms vs 1.10 ms  (0.6x)
 #     B=1024 N=32: 1.27 ms vs 1.21 ms  (1.0x)
 #     B=4096 N=32: 0.80 ms vs 1.22 ms  (1.5x)
+
+
+# ---------------------------------------------------------------------------
+# Batched symmetric eigendecomposition (cyclic Jacobi, batch in lanes)
+# ---------------------------------------------------------------------------
+
+#: Fixed sweep counts: cyclic Jacobi converges quadratically, reaching f32
+#: machine precision in ~log2(n)+3 sweeps for well-scaled inputs.
+def _jacobi_sweeps(n):
+    return 6 if n <= 8 else (8 if n <= 16 else 10)
+
+
+def _jacobi_eigh_kernel(n, n_sweeps, a_ref, w_ref, v_ref):
+    # Cyclic Jacobi with the batch in the lane axis; refs (N, N, Bc) /
+    # (N, Bc) / (N, N, Bc).  Rotation pairs unroll (static p, q); sweeps
+    # run in a fori_loop so the kernel body stays one-sweep-sized.
+    a0 = a_ref[...]
+    bc = a0.shape[-1]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(a0.dtype)
+    v0 = jnp.broadcast_to(eye[:, :, None], (n, n, bc))
+
+    def sweep(_, carry):
+        a, v = carry
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq = a[p, q, :]
+                theta = 0.5 * jnp.arctan2(
+                    2.0 * apq, a[p, p, :] - a[q, q, :],
+                )
+                c, s = jnp.cos(theta), jnp.sin(theta)
+                row_p = c * a[p, :, :] + s * a[q, :, :]
+                row_q = -s * a[p, :, :] + c * a[q, :, :]
+                a = a.at[p, :, :].set(row_p).at[q, :, :].set(row_q)
+                col_p = c * a[:, p, :] + s * a[:, q, :]
+                col_q = -s * a[:, p, :] + c * a[:, q, :]
+                a = a.at[:, p, :].set(col_p).at[:, q, :].set(col_q)
+                vcol_p = c * v[:, p, :] + s * v[:, q, :]
+                vcol_q = -s * v[:, p, :] + c * v[:, q, :]
+                v = v.at[:, p, :].set(vcol_p).at[:, q, :].set(vcol_q)
+        return a, v
+
+    a, v = jax.lax.fori_loop(0, n_sweeps, sweep, (a0, v0))
+    w_ref[...] = jnp.stack([a[i, i, :] for i in range(n)])
+    v_ref[...] = v
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_sweeps", "block", "interpret"))
+def _batched_jacobi_eigh_lanes(mats_lanes, n_sweeps, block=_BATCH_BLOCK,
+                               interpret=False):
+    """Jacobi eigendecomposition of (N, N, B) batch-minor matrices."""
+    n = mats_lanes.shape[0]
+    # two (N, N, block) buffers + one (N, block) live per grid step
+    block = _auto_block(n, 2 * mats_lanes.dtype.itemsize, block)
+    padded, b = _pad_batch(mats_lanes, block)
+    grid = (padded.shape[-1] // block,)
+    w, v = pl.pallas_call(
+        functools.partial(_jacobi_eigh_kernel, n, n_sweeps),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, padded.shape[-1]), padded.dtype),
+            jax.ShapeDtypeStruct(padded.shape, padded.dtype),
+        ),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((n, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, n, block), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(padded)
+    return w[..., :b], v[..., :b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _eigh_diff(mats, n_sweeps, block, interpret):
+    lanes = jnp.moveaxis(mats, 0, -1)  # (N, N, B)
+    w, v = _batched_jacobi_eigh_lanes(
+        lanes, n_sweeps, block=block, interpret=interpret,
+    )
+    w = jnp.moveaxis(w, -1, 0)   # (B, N)
+    v = jnp.moveaxis(v, -1, 0)   # (B, N, N)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    v = jnp.take_along_axis(v, order[:, None, :], axis=-1)
+    return w, v
+
+
+def _eigh_fwd(mats, n_sweeps, block, interpret):
+    w, v = _eigh_diff(mats, n_sweeps, block, interpret)
+    return (w, v), (w, v)
+
+
+def _eigh_bwd(n_sweeps, block, interpret, res, bars):
+    # Standard symmetric-eigendecomposition adjoint:
+    #   A_bar = V (diag(w_bar) + F o (V^T V_bar)) V^T,  F_ij = 1/(w_j-w_i)
+    # symmetrized (the kernel reads a symmetric input).  Degenerate pairs
+    # get F=0 (their rotation direction is arbitrary; same guard as the
+    # SoftAbs J-matrix in matrices.py).
+    w, v = res
+    w_bar, v_bar = bars
+    diff = w[..., None, :] - w[..., :, None]
+    eps = jnp.finfo(w.dtype).eps * jnp.maximum(
+        1.0, jnp.max(jnp.abs(w), axis=-1))[..., None, None]
+    f = jnp.where(jnp.abs(diff) > eps, 1.0 / jnp.where(diff == 0, 1, diff),
+                  0.0)
+    vt_vbar = jnp.matmul(jnp.swapaxes(v, -2, -1), v_bar)
+    inner = f * vt_vbar
+    n = w.shape[-1]
+    inner = inner + jnp.eye(n, dtype=w.dtype) * w_bar[..., None, :]
+    a_bar = jnp.matmul(v, jnp.matmul(inner, jnp.swapaxes(v, -2, -1)))
+    return ((a_bar + jnp.swapaxes(a_bar, -2, -1)) / 2,)
+
+
+_eigh_diff.defvjp(_eigh_fwd, _eigh_bwd)
+
+
+def batched_eigh(mats, *, n_sweeps=None, block=_BATCH_BLOCK,
+                 interpret=None):
+    """Eigendecomposition of a batch of small symmetric matrices.
+
+    Fixed-sweep cyclic Jacobi with the batch in the TPU lane axis — the
+    same layout as :func:`batched_cholesky` — replacing XLA's iterative
+    QDWH ``eigh`` whose control-flow graphs blow up compile time inside
+    nested ``while_loop``s (the SoftAbs metric rebuild in implicit
+    integrators; see docs/BENCHMARKS.md "Compile-time engineering").
+    Extends the unrolled single-matrix Jacobi in
+    ``matrices.symmetric_eigendecomposition`` (n <= 8) to moderate sizes.
+
+    Reverse-mode differentiable with the standard symmetric-eigh adjoint
+    (degenerate eigenvalue pairs contribute zero rotation gradient);
+    forward-mode is not defined.
+
+    Args:
+        mats: Array (B, N, N) of symmetric matrices (lower+upper read).
+        n_sweeps: Jacobi sweep count (default: size-based schedule
+            reaching f32 machine precision).
+        block: Batch block per grid step.
+        interpret: Force Pallas interpreter mode.
+
+    Returns:
+        Tuple ``(eigenvalues, eigenvectors)`` of shapes (B, N) ascending
+        and (B, N, N) with eigenvectors as columns.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    n = mats.shape[-1]
+    if n_sweeps is None:
+        n_sweeps = _jacobi_sweeps(n)
+    return _eigh_diff(mats, int(n_sweeps), block, interpret)

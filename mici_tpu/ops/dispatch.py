@@ -260,3 +260,63 @@ def solve_triangular_vec(a, b, *, lower=True, trans=False):
         Solutions, shape (..., N).
     """
     return _tri_solve_vec(bool(lower), bool(trans))(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric eigendecomposition
+# ---------------------------------------------------------------------------
+
+#: Above this size the fixed-sweep Jacobi kernel's O(n^3) rotation count
+#: stops beating XLA's eigh even for large batches.
+_MAX_EIGH_KERNEL_N = 32
+
+
+def _eigh_impl(a):
+    if a.ndim > 2:
+        batch = math.prod(a.shape[:-2])
+        if (a.shape[-1] <= _MAX_EIGH_KERNEL_N
+                and _use_kernel(batch, a.shape[-1], a.dtype)):
+            flat = a.reshape((-1,) + a.shape[-2:])
+            w, v = _bl.batched_eigh(flat, interpret=_interpret_flag())
+            return (w.reshape(a.shape[:-2] + w.shape[-1:]),
+                    v.reshape(a.shape))
+    # plain tuple (not EighResult) so both paths return one pytree
+    # structure, as custom_vmap requires
+    res = jnp.linalg.eigh(a)
+    return (res[0], res[1])
+
+
+_eigh_cv = custom_vmap(lambda a: _eigh_impl(a))
+
+
+@_eigh_cv.def_vmap
+def _eigh_vmap_rule(axis_size, in_batched, a):
+    (a_batched,) = in_batched
+    w, v = _eigh_impl(a)
+    return (w, v), (a_batched, a_batched)
+
+
+@jax.custom_vjp
+def eigh(a):
+    """Drop-in symmetric ``jnp.linalg.eigh`` with batch dispatch to the
+    Pallas fixed-sweep Jacobi kernel (n <= 32, large f32 TPU batches).
+
+    Returns ``(eigenvalues, eigenvectors)`` ascending.  Reverse-mode
+    differentiable (standard symmetric-eigh adjoint, symmetrized);
+    forward-mode is not defined.
+    """
+    return _eigh_cv(a)
+
+
+def _eigh_dispatch_fwd(a):
+    w, v = _eigh_cv(a)
+    return (w, v), (w, v)
+
+
+def _eigh_dispatch_bwd(res, bars):
+    w, v = res
+    w_bar, v_bar = bars
+    return _bl._eigh_bwd(None, None, None, (w, v), (w_bar, v_bar))
+
+
+eigh.defvjp(_eigh_dispatch_fwd, _eigh_dispatch_bwd)

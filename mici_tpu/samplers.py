@@ -127,11 +127,12 @@ def _propagate_system(transitions, system):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "trans_keys", "adapters", "trace_funcs", "n_iter",
+        "trans_keys", "adapters", "trace_funcs", "n_iter", "trace_thin",
     ),
 )
 def _run_stage_chunk(transitions, states, keys, params, adapt_states, *,
-                     trans_keys, adapters, trace_funcs, n_iter):
+                     trans_keys, adapters, trace_funcs, n_iter,
+                     trace_thin=1):
     """Run ``n_iter`` iterations for all chains (vmapped scan).
 
     The compiled replacement for the reference's per-chain iteration loop
@@ -202,6 +203,13 @@ def _run_stage_chunk(transitions, states, keys, params, adapt_states, *,
             body, (state, key, chain_params, chain_adapt_states), None,
             length=n_iter,
         )
+        if trace_thin > 1:
+            # Record the last iteration of each thin-block: slicing on
+            # device cuts device->host trace transfer volume by the thin
+            # factor (ROADMAP trace-compression; statistics stay full).
+            traces = jax.tree_util.tree_map(
+                lambda a: a[trace_thin - 1::trace_thin], traces,
+            )
         return state, key, params, adapt_states, traces, stats
 
     return jax.vmap(chain_fn)(states, keys, params, adapt_states)
@@ -311,7 +319,8 @@ class MarkovChainMonteCarloMethod:
                       trace_warm_up=False, force_memmap=False,
                       memmap_path=None, monitor_stats=None,
                       display_progress=True, progress_bar_class=None,
-                      chunk_size=None, mesh=None, n_worker=1, n_process=None,
+                      chunk_size=None, mesh=None, trace_thin=1,
+                      n_worker=1, n_process=None,
                       use_thread_pool=False, max_threads_per_worker=None):
         """Sample Markov chains with optional adaptive warm up.
 
@@ -347,10 +356,19 @@ class MarkovChainMonteCarloMethod:
                 data-parallel over the devices, with cross-chain adapter
                 reductions lowered to XLA collectives over ICI.  The
                 number of chains must be divisible by the mesh size.
+            trace_thin: Record traces every ``trace_thin``-th iteration
+                (the last of each block), reducing device-to-host trace
+                transfer and storage by that factor for very long runs.
+                Statistics are always recorded per iteration.  1 (default)
+                records every iteration.
 
         Returns:
             MCMCSampleChainsOutputs(final_states, traces, statistics).
         """
+        trace_thin = int(trace_thin)
+        if trace_thin < 1:
+            msg = "trace_thin must be a positive integer."
+            raise ValueError(msg)
         ignored = [
             name for name, value, default in (
                 ("n_worker", n_worker, (1, None)),
@@ -391,6 +409,7 @@ class MarkovChainMonteCarloMethod:
 
         n_trace_iter = (n_warm_up_iter + n_main_iter if trace_warm_up
                         else n_main_iter)
+        n_trace_rows = n_trace_iter // trace_thin
         use_memmap = force_memmap
         memmap_dir = None
         if use_memmap:
@@ -408,7 +427,7 @@ class MarkovChainMonteCarloMethod:
 
         # Allocate host buffers for traces and statistics.
         traces = None
-        if trace_funcs and n_trace_iter > 0:
+        if trace_funcs and n_trace_rows > 0:
             example = {}
             example_system = self._get_system()
             for trace_func in trace_funcs:
@@ -423,7 +442,7 @@ class MarkovChainMonteCarloMethod:
                 val = np.asarray(val)
                 init = (np.nan if np.issubdtype(val.dtype, np.inexact)
                         else 0)
-                shape = (n_chain, n_trace_iter, *val.shape)
+                shape = (n_chain, n_trace_rows, *val.shape)
                 if use_memmap:
                     traces[key] = _open_new_memmap(
                         Path(memmap_path) / f"trace_{key}.npy",
@@ -464,6 +483,7 @@ class MarkovChainMonteCarloMethod:
         trans_keys = tuple(self.transitions)
         transitions = dict(self.transitions)
         sampling_index_offset = 0
+        trace_index_offset = 0
         interrupted = False
         logger.debug(
             "Sampling %d chains: %d warm-up + %d main iterations over %d "
@@ -498,7 +518,13 @@ class MarkovChainMonteCarloMethod:
                 n_remaining = stage.n_iter
                 chunk = (stage.n_iter if chunk_size is None
                          else min(chunk_size, stage.n_iter))
+                if trace_thin > 1:
+                    # Align chunk boundaries to thin-blocks so thinned
+                    # trace rows stay contiguous across chunks.
+                    chunk = max(trace_thin,
+                                (chunk // trace_thin) * trace_thin)
                 offset_in_stage = 0
+                trace_offset_in_stage = 0
                 pb = progress_bar_class(
                     range(stage.n_iter), description=label, position=(1, 2),
                 )
@@ -527,6 +553,7 @@ class MarkovChainMonteCarloMethod:
                                 adapters=stage_adapters,
                                 trace_funcs=stage_trace_funcs,
                                 n_iter=this_chunk,
+                                trace_thin=trace_thin,
                             )
                             if pending is not None:
                                 merge_flags(self._drain_chunk(
@@ -538,8 +565,16 @@ class MarkovChainMonteCarloMethod:
                                 sampling_index_offset + offset_in_stage
                                 + this_chunk,
                             )
-                            pending = (row, chunk_traces, chunk_stats)
+                            chunk_trace_rows = this_chunk // trace_thin
+                            trace_row = slice(
+                                trace_index_offset + trace_offset_in_stage,
+                                trace_index_offset + trace_offset_in_stage
+                                + chunk_trace_rows,
+                            )
+                            pending = (row, trace_row, chunk_traces,
+                                       chunk_stats)
                             offset_in_stage += this_chunk
+                            trace_offset_in_stage += chunk_trace_rows
                             n_remaining -= this_chunk
                             postfix = self._monitor_postfix(
                                 monitor_stats, chunk_stats,
@@ -587,9 +622,19 @@ class MarkovChainMonteCarloMethod:
                     )
                 if record:
                     sampling_index_offset += offset_in_stage
+                    trace_index_offset += trace_offset_in_stage
                 stage_pb.update(stage_index + 1)
                 if interrupted:
                     break
+
+        if (trace_thin > 1 and traces is not None and not interrupted
+                and trace_index_offset < n_trace_rows):
+            # Stage lengths not divisible by trace_thin drop their
+            # remainder iterations; trim the unwritten tail rows.
+            traces = {
+                key: val[:, :trace_index_offset]
+                for key, val in traces.items()
+            }
 
         self._transitions = transitions
         final_states = _unstack_states(jax.device_get(states), n_chain)
@@ -665,11 +710,11 @@ class MarkovChainMonteCarloMethod:
         Returns a ``{stat_key: (n_flagged, n_total)}`` summary of the
         chunk's failure-flag statistics for stage-level logging.
         """
-        row, chunk_traces, chunk_stats = pending
+        row, trace_row, chunk_traces, chunk_stats = pending
         if stage_trace_funcs is not None and traces:
             host_traces = jax.device_get(chunk_traces)
             for key, arr in host_traces.items():
-                traces[key][:, row] = arr
+                traces[key][:, trace_row] = arr
         flag_summary = {}
         if record_stats and stats:
             host_stats = jax.device_get(chunk_stats)

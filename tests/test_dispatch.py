@@ -234,3 +234,73 @@ def test_dense_riemannian_trajectory_kernel_matches_xla():
         tx = jax.tree_util.tree_map(np.asarray, tx)
     np.testing.assert_allclose(tk[0], tx[0], atol=1e-8)
     np.testing.assert_allclose(tk[1], tx[1], atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# eigh dispatch (fixed-sweep Jacobi lane kernel, 9 <= n <= 32)
+# ---------------------------------------------------------------------------
+
+
+def _sym_batch(b, n, seed=SEED):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((b, n, n))
+    return (a + np.swapaxes(a, -2, -1)) / 2
+
+
+def test_eigh_unbatched_matches_xla():
+    sym = _sym_batch(1, DIM)[0]
+    w, v = dispatch.eigh(jnp.asarray(sym))
+    w_ref, _v_ref = np.linalg.eigh(sym)
+    np.testing.assert_allclose(w, w_ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [4, 12])
+def test_eigh_vmapped_kernel_matches_xla(n):
+    sym = jnp.asarray(_sym_batch(BATCH, n))
+    with ops.force_dispatch("kernel"):
+        w_k, v_k = jax.jit(jax.vmap(dispatch.eigh))(sym)
+    w_ref, _ = np.linalg.eigh(np.asarray(sym))
+    np.testing.assert_allclose(np.asarray(w_k), w_ref, atol=1e-8)
+    # eigenvectors orthonormal + reconstruct the input (sign-invariant)
+    recon = np.einsum(
+        "bij,bj,bkj->bik", np.asarray(v_k), np.asarray(w_k),
+        np.asarray(v_k))
+    np.testing.assert_allclose(recon, np.asarray(sym), atol=1e-8)
+
+
+def test_eigh_gradient_matches_native():
+    # Gradient through a sign-invariant function of the decomposition:
+    # f(A) = x^T V diag(softplus(w)) V^T y
+    sym = jnp.asarray(_sym_batch(1, DIM)[0])
+    x = jnp.arange(1.0, DIM + 1)
+    y = jnp.ones(DIM) / DIM
+
+    def f(op):
+        def inner(m):
+            w, v = op(m)
+            return x @ (v @ (jnp.logaddexp(0.0, w) * (v.T @ y)))
+        return inner
+
+    g = jax.grad(f(dispatch.eigh))(sym)
+    g_ref = jax.grad(f(jnp.linalg.eigh))(sym)
+    np.testing.assert_allclose(g, g_ref, atol=1e-8)
+
+
+def test_eigh_vmapped_gradient_kernel_matches_xla():
+    n = 4  # small: interpreter-mode Jacobi is expensive
+    sym = jnp.asarray(_sym_batch(BATCH, n, seed=SEED + 3))
+    x = jnp.arange(1.0, n + 1)
+
+    def loss_with(op):
+        def loss(ms):
+            def per(m):
+                w, v = op(m)
+                return x @ (v @ (jnp.logaddexp(0.0, w) * (v.T @ x)))
+            return jnp.sum(jax.vmap(per)(ms))
+        return loss
+
+    with ops.force_dispatch("kernel"):
+        g_k = jax.jit(jax.grad(loss_with(dispatch.eigh)))(sym)
+    g_ref = jax.grad(loss_with(jnp.linalg.eigh))(sym)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
+                               atol=1e-7)

@@ -417,3 +417,64 @@ def test_stage_flag_logging(caplog):
             0, 10, _init_states(2), adapters=None, display_progress=False,
         )
     assert any("diverging" in rec.message for rec in caplog.records)
+
+
+def test_trace_thinning_matches_full_traces():
+    """trace_thin records the last iterate of each block; identical
+    sampling otherwise (statistics stay full)."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system, 0.5)
+    thin = 4
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_full = sampler_a.sample_chains(
+        0, 64, _init_states(), adapters=None, display_progress=False,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_thin = sampler_b.sample_chains(
+        0, 64, _init_states(), adapters=None, trace_thin=thin,
+        display_progress=False,
+    )
+    assert out_thin.traces["pos"].shape == (N_CHAIN, 64 // thin, DIM)
+    np.testing.assert_allclose(
+        out_thin.traces["pos"],
+        out_full.traces["pos"][:, thin - 1::thin],
+        atol=1e-12,
+    )
+    # statistics unaffected by thinning
+    assert out_thin.statistics["accept_stat"].shape == (N_CHAIN, 64)
+    np.testing.assert_allclose(
+        out_thin.statistics["accept_stat"],
+        out_full.statistics["accept_stat"], atol=1e-12,
+    )
+
+
+def test_trace_thinning_with_chunks_and_adaptive_stages():
+    """Thinning composes with chunked execution and multi-stage warm-up."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    thin = 2
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_full = sampler_a.sample_chains(
+        20, 40, _init_states(), display_progress=False,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_thin = sampler_b.sample_chains(
+        20, 40, _init_states(), trace_thin=thin, chunk_size=7,
+        display_progress=False,
+    )
+    assert out_thin.traces["pos"].shape[1] == 40 // thin
+    np.testing.assert_allclose(
+        out_thin.traces["pos"],
+        out_full.traces["pos"][:, thin - 1::thin],
+        atol=1e-10,
+    )
+
+
+def test_trace_thin_validation():
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system, 0.5)
+    sampler = samplers.StaticMetropolisHMC(system, integ, SEED, n_step=2)
+    with pytest.raises(ValueError, match="trace_thin"):
+        sampler.sample_chains(
+            0, 4, _init_states(2), trace_thin=0, display_progress=False,
+        )
