@@ -106,6 +106,18 @@ default_hamiltonian_trace_func = SystemTraceFunc(
 )
 
 
+@jax.jit
+def _prepare_states_batch(system, states):
+    """Populate aux entries for a whole chain batch in one program."""
+    return jax.vmap(system.prepare_state)(states)
+
+
+@jax.jit
+def _sample_momenta_batch(system, states, keys):
+    """Sample momenta for a whole chain batch in one program."""
+    return jax.vmap(system.sample_momentum)(states, keys)
+
+
 def _propagate_system(transitions, system):
     """Rebuild all transitions around an updated (shared) system pytree."""
     new = {}
@@ -395,11 +407,16 @@ class MarkovChainMonteCarloMethod:
             if progress_bar_class is None:
                 progress_bar_class = SequenceProgressBar
 
-        init_states = [
-            self._check_and_process_init_state(s) for s in init_states
-        ]
+        # Coerce, stack, then prepare all chains in ONE vmapped program:
+        # preparing each chain eagerly in a Python loop costs one device
+        # dispatch per chain (seconds at 1024+ chains on remote backends).
+        init_states = [self._coerce_init_state(s) for s in init_states]
         n_chain = len(init_states)
         states = _stack_states(init_states)
+        system = self._get_system()
+        if system is not None:
+            states = _prepare_states_batch(system, states)
+        states = self._finalize_init_states(states, n_chain)
         chain_keys = jax.random.split(self._next_key(), n_chain)
         if mesh is not None:
             from mici_tpu import parallel
@@ -430,13 +447,14 @@ class MarkovChainMonteCarloMethod:
         if trace_funcs and n_trace_rows > 0:
             example = {}
             example_system = self._get_system()
+            example_state = _index_states(states, 0)
             for trace_func in trace_funcs:
                 if isinstance(trace_func, SystemTraceFunc):
                     example.update(
-                        trace_func(init_states[0], example_system),
+                        trace_func(example_state, example_system),
                     )
                 else:
-                    example.update(trace_func(init_states[0]))
+                    example.update(trace_func(example_state))
             traces = {}
             for key, val in example.items():
                 val = np.asarray(val)
@@ -642,19 +660,33 @@ class MarkovChainMonteCarloMethod:
 
     # -- helpers -----------------------------------------------------------
 
-    def _check_and_process_init_state(self, state):
-        """Check initial chain state and convert to ChainState.
+    def _coerce_init_state(self, state):
+        """Convert an initial chain state input to a ChainState (no device
+        computation — preparation happens batched after stacking).
 
         Reference: mici/samplers.py:_check_and_process_init_state.
         """
         if isinstance(state, dict):
-            state = ChainState(**state)
-        elif not isinstance(state, ChainState):
-            state = ChainState(pos=jnp.asarray(state), mom=None, dir=1)
+            return ChainState(**state)
+        if not isinstance(state, ChainState):
+            return ChainState(pos=jnp.asarray(state), mom=None, dir=1)
+        return state
+
+    def _check_and_process_init_state(self, state):
+        """Check initial chain state, convert to ChainState and prepare.
+
+        Kept for reference API parity; the batched driver path uses
+        :meth:`_coerce_init_state` + :func:`_prepare_states_batch`.
+        """
+        state = self._coerce_init_state(state)
         system = self._get_system()
         if system is not None:
             state = system.prepare_state(state)
         return state
+
+    def _finalize_init_states(self, states, n_chain):
+        """Hook for subclasses to complete batched initial states."""
+        return states
 
     def _get_system(self):
         for transition in self.transitions.values():
@@ -784,6 +816,14 @@ class HamiltonianMonteCarlo(MarkovChainMonteCarloMethod):
             )
         return init_state
 
+    def _finalize_init_states(self, states, n_chain):
+        """Sample missing momenta for the whole batch in one program."""
+        if states.mom is None:
+            keys = jax.random.split(self._next_key(), n_chain)
+            mom = _sample_momenta_batch(self.system, states, keys)
+            states = states.replace(mom=mom)
+        return states
+
     # Default traced variables: position and Hamiltonian, with the system
     # routed through the traced argument path so the adapter-tuned metric
     # is used (reference: mici/samplers.py:1263-1269).
@@ -795,9 +835,14 @@ class HamiltonianMonteCarlo(MarkovChainMonteCarloMethod):
 
         Reference: mici/samplers.py:1271-1431 (defaults at :1404-1423).
         """
-        init_states = [
-            self._preprocess_init_state(i) for i in init_states
-        ]
+        init_states = [self._coerce_init_state(i) for i in init_states]
+        has_mom = [s.mom is not None for s in init_states]
+        if any(has_mom) and not all(has_mom):
+            # Mixed momenta: fall back to per-chain preparation so the
+            # stacked pytree structure is uniform (rare path).
+            init_states = [
+                self._preprocess_init_state(s) for s in init_states
+            ]
         if "adapters" not in kwargs:
             kwargs["adapters"] = [DualAveragingStepSizeAdapter()]
         if "trace_funcs" not in kwargs:
