@@ -16,10 +16,16 @@ to stock XLA otherwise.  Mechanism:
   that ``vmap`` normally hides from library code, so the per-chain call
   sites in ``matrices.py`` (reference hot path:
   mici/matrices.py:1163-1173) dispatch on the *batched* shape;
-- ``custom_vmap`` does not support reverse-mode AD, so each dispatched op
-  is wrapped in an outer ``jax.custom_vjp`` with the closed-form adjoint
-  (verified against the native XLA gradients).  Forward-mode (jvp) is not
-  defined, matching the kernels.
+- ``custom_vmap`` does not support AD, so each dispatched op is wrapped
+  in an outer ``jax.custom_jvp`` whose tangent rule is the closed-form
+  differential computed with plain (transposable) XLA ops.  Forward mode
+  is therefore supported directly (the Newton fixed-point solver
+  ``jacfwd``-s through the SoftAbs metric, hitting the eigh here), and
+  reverse mode is derived by JAX from the linear tangent rule via
+  transposition — producing the standard adjoints (verified against the
+  native XLA gradients).  Only the primal dispatches to the kernels; the
+  differential ops are XLA either way, matching the previous hand-written
+  adjoints.
 
 Dispatch conditions (auto mode): TPU platform, float32, batch >=
 ``_MIN_KERNEL_BATCH``, matrix size <= ``_MAX_KERNEL_N``.  Tests force the
@@ -111,20 +117,17 @@ def _chol_vmap_rule(axis_size, in_batched, a):
     return _chol_impl(a), a_batched
 
 
-@jax.custom_vjp
+@jax.custom_jvp
 def cholesky(a):
     """Drop-in ``jnp.linalg.cholesky`` with batch dispatch to Pallas.
 
-    Reads the lower triangle only; reverse-mode differentiable with the
-    same symmetrized adjoint convention as XLA's native Cholesky (the two
-    paths produce identical gradients).  Forward-mode is not defined.
+    Reads the lower triangle only.  Differentiable in both modes: the
+    tangent rule is ``dL = L phi(L^-1 sym(dA) L^-T)`` (with ``phi`` =
+    lower triangle, halved diagonal) computed with XLA ops; reverse mode
+    transposes it, yielding the same symmetrized adjoint convention as
+    XLA's native Cholesky (the two paths produce identical gradients).
     """
     return _chol_cv(a)
-
-
-def _chol_fwd(a):
-    factor = _chol_cv(a)
-    return factor, factor
 
 
 def _chol_phi(m):
@@ -133,20 +136,21 @@ def _chol_phi(m):
     return jnp.tril(m) - 0.5 * eye * diag[..., None]
 
 
-def _chol_bwd(factor, factor_bar):
-    # sigma_bar = L^{-T} phi(L^T L_bar) L^{-1}, symmetrized — identical to
-    # XLA's native cholesky adjoint (verified to 0 ulp in f64).
-    p = _chol_phi(jnp.matmul(jnp.swapaxes(factor, -2, -1), factor_bar))
+@cholesky.defjvp
+def _chol_jvp(primals, tangents):
+    (a,) = primals
+    (da,) = tangents
+    factor = _chol_cv(a)
+    da_sym = (da + jnp.swapaxes(da, -2, -1)) / 2
+    # dL = L phi(L^-1 dA L^-T); linear + transposable in da, so JAX
+    # derives the reverse-mode adjoint (identical to XLA's) from it.
     w = jax.lax.linalg.triangular_solve(
-        factor, p, left_side=True, lower=True, transpose_a=True,
+        factor, da_sym, left_side=True, lower=True,
     )
-    sigma_bar = jax.lax.linalg.triangular_solve(
-        factor, w, left_side=False, lower=True,
+    x = jax.lax.linalg.triangular_solve(
+        factor, w, left_side=False, lower=True, transpose_a=True,
     )
-    return ((sigma_bar + jnp.swapaxes(sigma_bar, -2, -1)) / 2,)
-
-
-cholesky.defvjp(_chol_fwd, _chol_bwd)
+    return factor, jnp.matmul(factor, _chol_phi(x))
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +193,7 @@ def _tri_solve_impl(a, b, lower, trans):
 
 @functools.cache
 def _tri_solve_vec(lower: bool, trans: bool):
-    """custom_vjp(custom_vmap(...)) vector triangular solve for one
+    """custom_jvp(custom_vmap(...)) vector triangular solve for one
     static (lower, trans) combination."""
 
     def impl(a, b):
@@ -210,33 +214,30 @@ def _tri_solve_vec(lower: bool, trans: bool):
             b = jnp.broadcast_to(b, a.shape[:-2] + b.shape)
         return impl(a, b), True
 
-    @jax.custom_vjp
+    @jax.custom_jvp
     def solve(a, b):
         return cv(a, b)
 
-    def _fwd(a, b):
+    @solve.defjvp
+    def _jvp(primals, tangents):
+        a, b = primals
+        da, db = tangents
         x = cv(a, b)
-        return x, (a, x)
-
-    def _bwd(res, x_bar):
-        a, x = res
-        # x = op(a)^{-1} b with op = transpose if trans else identity:
-        #   b_bar = op(a)^{-T} x_bar  (the flipped-trans solve, which
-        #   itself dispatches to the kernels when batched)
-        #   op(a)_bar = -outer(b_bar, x), masked to the read triangle.
-        b_bar = _tri_solve_vec(lower, not trans)(a, x_bar)
+        # x = op(a)^-1 b  =>  dx = op(a)^-1 (db - op(da) x), with the
+        # unread triangle of da masked out (the primal never touches it,
+        # so its cotangent under transposition is exactly zero — cf. the
+        # masked-triangle gradient test).  Linear + transposable in
+        # (da, db): reverse mode transposes to
+        #   b_bar = op(a)^-T x_bar,  op(a)_bar = -outer(b_bar, x)
+        # (with b_bar summed over any broadcast batch dims), the standard
+        # adjoint the previous hand-written VJP implemented.
+        da_tri = jnp.tril(da) if lower else jnp.triu(da)
         if trans:
-            a_bar = -x[..., :, None] * b_bar[..., None, :]
-        else:
-            a_bar = -b_bar[..., :, None] * x[..., None, :]
-        a_bar = jnp.tril(a_bar) if lower else jnp.triu(a_bar)
-        if a_bar.ndim > x.ndim + 1:
-            # b was broadcast against extra leading batch dims of a.
-            n_extra = a_bar.ndim - 1 - x.ndim
-            b_bar = jnp.sum(b_bar, axis=tuple(range(n_extra)))
-        return a_bar, b_bar
+            da_tri = jnp.swapaxes(da_tri, -2, -1)
+        mv = jnp.matmul(da_tri, x[..., None])[..., 0]
+        dx = _xla_tri_solve_vec(a, db - mv, lower, trans)
+        return x, dx
 
-    solve.defvjp(_fwd, _bwd)
     return solve
 
 
@@ -296,27 +297,38 @@ def _eigh_vmap_rule(axis_size, in_batched, a):
     return (w, v), (a_batched, a_batched)
 
 
-@jax.custom_vjp
+@jax.custom_jvp
 def eigh(a):
     """Drop-in symmetric ``jnp.linalg.eigh`` with batch dispatch to the
     Pallas fixed-sweep Jacobi kernel (n <= 32, large f32 TPU batches).
 
-    Returns ``(eigenvalues, eigenvectors)`` ascending.  Reverse-mode
-    differentiable (standard symmetric-eigh adjoint, symmetrized);
-    forward-mode is not defined.
+    Returns ``(eigenvalues, eigenvectors)`` ascending.  Differentiable in
+    both modes (the Newton fixed-point solver ``jacfwd``-s through the
+    SoftAbs metric eigendecomposition): the tangent rule is the standard
+    symmetric-eigh differential
+
+        dW = diag(V^T sym(dA) V),    dV = V (F o V^T sym(dA) V)
+
+    with ``F_ij = 1 / (w_j - w_i)`` off the diagonal and 0 on it; reverse
+    mode is its transpose (the standard symmetrized eigh adjoint, matching
+    the previous hand-written VJP).  Degenerate eigenvalue pairs produce
+    the same non-finite derivatives as XLA's native rule.
     """
     return _eigh_cv(a)
 
 
-def _eigh_dispatch_fwd(a):
+@eigh.defjvp
+def _eigh_dispatch_jvp(primals, tangents):
+    (a,) = primals
+    (da,) = tangents
     w, v = _eigh_cv(a)
-    return (w, v), (w, v)
-
-
-def _eigh_dispatch_bwd(res, bars):
-    w, v = res
-    w_bar, v_bar = bars
-    return _bl._eigh_bwd(None, None, None, (w, v), (w_bar, v_bar))
-
-
-eigh.defvjp(_eigh_dispatch_fwd, _eigh_dispatch_bwd)
+    da_sym = (da + jnp.swapaxes(da, -2, -1)) / 2
+    vt_da_v = jnp.matmul(
+        jnp.swapaxes(v, -2, -1), jnp.matmul(da_sym, v),
+    )
+    dw = jnp.diagonal(vt_da_v, axis1=-2, axis2=-1)
+    diff = w[..., None, :] - w[..., :, None]
+    eye = jnp.eye(w.shape[-1], dtype=bool)
+    f = jnp.where(eye, 0.0, 1.0 / jnp.where(eye, 1.0, diff))
+    dv = jnp.matmul(v, f * vt_da_v)
+    return (w, v), (dw, dv)
