@@ -418,6 +418,42 @@ class DynamicIntegrationTransition(IntegrationTransition):
             [state.pos, state.mom, self.system.dh_dmom(state)], axis=-1,
         )
 
+    def _state_packer(self, state):
+        """Flat-vector codec for tree states of ``state``'s structure.
+
+        Tree states (edges, proposals, leaves) are carried through the
+        NUTS loops as single lane-contiguous vectors packing
+        ``(pos, mom, aux, variables)``: every masked select on a tree
+        state is then one kernel instead of one per pytree leaf (~6 for
+        a Euclidean state, more for Riemannian aux), which measures
+        ~2x on small-dimension targets where per-kernel cost dominates.
+        ``dir`` is not packed — within a subtree it equals the build
+        direction, which the unpacker reinstates — and ``error`` is
+        transient (leaves enter the tree cleared).
+
+        Returns ``(pack, unpack)`` with ``pack(state) -> flat`` and
+        ``unpack(flat, dir) -> ChainState``.
+        """
+        import jax.flatten_util as jfu
+
+        template = state
+        _, unravel = jfu.ravel_pytree(
+            (state.pos, state.mom, state.aux, state.variables),
+        )
+        zero_error = jnp.zeros_like(state.error)
+
+        def pack(s):
+            return jfu.ravel_pytree((s.pos, s.mom, s.aux, s.variables))[0]
+
+        def unpack(flat, dir):
+            pos, mom, aux, variables = unravel(flat)
+            return template.replace(
+                pos=pos, mom=mom, aux=aux, variables=variables,
+                dir=dir, error=zero_error,
+            )
+
+        return pack, unpack
+
     def _crit(self, dir, first_arr, last_arr, sum_mom):
         """Oriented termination criterion on packed point arrays.
 
@@ -546,15 +582,17 @@ class DynamicIntegrationTransition(IntegrationTransition):
         state0 = edge_state.clear_error()
         zero_mom = jnp.zeros_like(state0.mom)
         state_dim = state0.mom.shape[-1]
+        pack, unpack = self._state_packer(state0)
+        flat0 = pack(state0)
 
         start_buf = jnp.zeros((max_depth + 1, 4 * state_dim), dtype)
         end_buf = jnp.zeros((max_depth + 1, 3 * state_dim), dtype)
 
         carry = {
             "i": jnp.int32(0),
-            "state": state0,
-            "first_leaf": state0,   # placeholder, set at i == 0
-            "proposal": state0,
+            "state": flat0,
+            "first_leaf": flat0,    # placeholder, set at i == 0
+            "proposal": flat0,
             "weight": self._zero_weight(dtype),
             "cum_mom": zero_mom,
             "start_buf": start_buf,
@@ -574,7 +612,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
         def body(c):
             i = c["i"]
             key, key_prop = jax.random.split(c["rng"])
-            stepped = self.integrator.step(c["state"])
+            stepped = self.integrator.step(unpack(c["state"], dir))
             error_bits = stepped.error
             int_error = error_bits != 0
             leaf = stepped.clear_error()
@@ -602,8 +640,9 @@ class DynamicIntegrationTransition(IntegrationTransition):
                 jax.random.uniform(key_prop, dtype=dtype)
                 < self._weight_ratio(leaf_w, new_weight)
             ) | (i == 0)
-            proposal = _where_tree(
-                valid & accept_leaf, leaf, c["proposal"],
+            flat_leaf = pack(leaf)
+            proposal = jnp.where(
+                valid & accept_leaf, flat_leaf, c["proposal"],
             )
             weight = jnp.where(valid, new_weight, c["weight"])
 
@@ -611,7 +650,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
             prefix_before = c["cum_mom"]
             cum_mom = jnp.where(valid, c["cum_mom"] + leaf.mom, c["cum_mom"])
 
-            first_leaf = _where_tree(i == 0, leaf, c["first_leaf"])
+            first_leaf = jnp.where(i == 0, flat_leaf, c["first_leaf"])
 
             # --- checkpoint stores -----------------------------------------
             z = jnp.where(
@@ -633,7 +672,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
 
             return {
                 "i": i + 1,
-                "state": leaf,
+                "state": flat_leaf,
                 "first_leaf": first_leaf,
                 "proposal": proposal,
                 "weight": weight,
@@ -652,11 +691,11 @@ class DynamicIntegrationTransition(IntegrationTransition):
         terminated = out["uturn"] | (out["error_bits"] != 0) \
             | out["diverging"]
         return {
-            "first_leaf": out["first_leaf"],
-            "last_leaf": out["state"],
+            "first_leaf": unpack(out["first_leaf"], dir),
+            "last_leaf": unpack(out["state"], dir),
             "sum_mom": out["cum_mom"],
             "weight": out["weight"],
-            "proposal": out["proposal"],
+            "proposal": unpack(out["proposal"], dir),
             "terminated": terminated,
             "error_bits": out["error_bits"],
             "diverging": out["diverging"],
@@ -727,6 +766,8 @@ class DynamicIntegrationTransition(IntegrationTransition):
         point0 = self._point(state)
         zero_mom = jnp.zeros_like(state.mom)
         state_dim = state.mom.shape[-1]
+        pack, unpack = self._state_packer(state)
+        flat0 = pack(state)
 
         carry = {
             # loop position
@@ -734,9 +775,10 @@ class DynamicIntegrationTransition(IntegrationTransition):
             "i": jnp.int32(0),
             "terminated": jnp.bool_(False),
             "rng": key_loop,
-            # tree level
-            "neg_state": state,
-            "pos_state": state,
+            # tree level (tree states are flat-packed vectors; see
+            # _state_packer)
+            "neg_state": flat0,
+            "pos_state": flat0,
             # cached points (pos/mom/velocity) of the tree edges: the merge
             # phase runs masked on every leaf, so its termination checks
             # must not recompute dh_dmom (a full metric rebuild for
@@ -745,7 +787,8 @@ class DynamicIntegrationTransition(IntegrationTransition):
             "pos_point": point0,
             "sum_mom": jnp.asarray(state.mom),
             "weight": init_weight,
-            "next_state": state,
+            "next_state": flat0,
+            "next_state_dir": state.dir,
             "n_step": jnp.int32(0),
             "sum_accept_prob": jnp.zeros((), dtype),
             "reject_prob": jnp.ones((), dtype),
@@ -757,10 +800,10 @@ class DynamicIntegrationTransition(IntegrationTransition):
             "direction": jnp.int32(1),
             "key_acc": key_loop,  # placeholder, set at each subtree start
             "sub_rng": key_loop,
-            "state": state,
-            "first_leaf": state,
+            "state": flat0,
+            "first_leaf": flat0,
             "first_leaf_point": point0,
-            "sub_proposal": state,
+            "sub_proposal": flat0,
             "sub_weight": self._zero_weight(dtype),
             "sub_cum_mom": zero_mom,
             "start_buf": jnp.zeros((max_depth + 1, 4 * state_dim), dtype),
@@ -792,10 +835,12 @@ class DynamicIntegrationTransition(IntegrationTransition):
             rng = jnp.where(at_start, key_next, c["rng"])
             key_acc = jnp.where(at_start, key_acc_new, c["key_acc"])
             sub_rng = jnp.where(at_start, key_build, c["sub_rng"])
-            edge = _where_tree(
+            edge = jnp.where(
                 direction == 1, c["pos_state"], c["neg_state"],
-            ).replace(dir=direction).clear_error()
-            state_in = _where_tree(at_start, edge, c["state"])
+            )
+            state_in = unpack(
+                jnp.where(at_start, edge, c["state"]), direction,
+            )
             sub_weight = jnp.where(
                 at_start, self._zero_weight(dtype), c["sub_weight"],
             )
@@ -829,8 +874,9 @@ class DynamicIntegrationTransition(IntegrationTransition):
                 jax.random.uniform(key_prop, dtype=dtype)
                 < self._weight_ratio(leaf_w, new_sub_weight)
             ) | at_start
-            sub_proposal = _where_tree(
-                valid & accept_leaf, leaf, c["sub_proposal"],
+            flat_leaf = pack(leaf)
+            sub_proposal = jnp.where(
+                valid & accept_leaf, flat_leaf, c["sub_proposal"],
             )
             sub_weight = jnp.where(valid, new_sub_weight, sub_weight)
 
@@ -839,7 +885,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
             sub_cum_mom = jnp.where(
                 valid, sub_cum_mom + leaf.mom, sub_cum_mom,
             )
-            first_leaf = _where_tree(at_start, leaf, c["first_leaf"])
+            first_leaf = jnp.where(at_start, flat_leaf, c["first_leaf"])
             first_leaf_point = jnp.where(
                 at_start, point, c["first_leaf_point"],
             )
@@ -882,17 +928,20 @@ class DynamicIntegrationTransition(IntegrationTransition):
                 jax.random.uniform(key_acc, dtype=dtype)
                 < accept_proposal_prob
             )
-            next_state = _where_tree(accept, sub_proposal, c["next_state"])
+            next_state = jnp.where(accept, sub_proposal, c["next_state"])
+            next_state_dir = jnp.where(
+                accept, direction, c["next_state_dir"],
+            )
             reject_prob = jnp.where(
                 built_ok,
                 c["reject_prob"] * (1.0 - accept_proposal_prob),
                 c["reject_prob"],
             )
 
-            sub_neg = _where_tree(direction == 1, first_leaf, leaf)
-            sub_pos = _where_tree(direction == 1, leaf, first_leaf)
-            new_neg = _where_tree(direction == 1, c["neg_state"], sub_neg)
-            new_pos = _where_tree(direction == 1, sub_pos, c["pos_state"])
+            sub_neg = jnp.where(direction == 1, first_leaf, flat_leaf)
+            sub_pos = jnp.where(direction == 1, flat_leaf, first_leaf)
+            new_neg = jnp.where(direction == 1, c["neg_state"], sub_neg)
+            new_pos = jnp.where(direction == 1, sub_pos, c["pos_state"])
             new_sum_mom = c["sum_mom"] + sub_cum_mom
             new_weight = self._combine_weights(c["weight"], sub_weight)
 
@@ -923,13 +972,14 @@ class DynamicIntegrationTransition(IntegrationTransition):
                 "i": jnp.where(complete, jnp.int32(0), i + 1),
                 "terminated": sub_terminated | merged_terminate,
                 "rng": rng,
-                "neg_state": _where_tree(built_ok, new_neg, c["neg_state"]),
-                "pos_state": _where_tree(built_ok, new_pos, c["pos_state"]),
-                "neg_point": _where_tree(built_ok, neg_pt, c["neg_point"]),
-                "pos_point": _where_tree(built_ok, pos_pt, c["pos_point"]),
+                "neg_state": jnp.where(built_ok, new_neg, c["neg_state"]),
+                "pos_state": jnp.where(built_ok, new_pos, c["pos_state"]),
+                "neg_point": jnp.where(built_ok, neg_pt, c["neg_point"]),
+                "pos_point": jnp.where(built_ok, pos_pt, c["pos_point"]),
                 "sum_mom": jnp.where(built_ok, new_sum_mom, c["sum_mom"]),
                 "weight": jnp.where(built_ok, new_weight, c["weight"]),
                 "next_state": next_state,
+                "next_state_dir": next_state_dir,
                 "n_step": n_step,
                 "sum_accept_prob": sum_accept_prob,
                 "reject_prob": reject_prob,
@@ -940,7 +990,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
                 "direction": direction,
                 "key_acc": key_acc,
                 "sub_rng": sub_rng,
-                "state": leaf,
+                "state": flat_leaf,
                 "first_leaf": first_leaf,
                 "first_leaf_point": first_leaf_point,
                 "sub_proposal": sub_proposal,
@@ -972,7 +1022,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
                 self.integrator.step_size, dtype=dtype,
             )),
         }
-        return out["next_state"], stats
+        return unpack(out["next_state"], out["next_state_dir"]), stats
 
     # -- two-loop reference formulation (kept for A/B testing) ---------------
 
