@@ -142,7 +142,10 @@ def run_tpu_benchmark():
             "convergence_tol": FP_TOL, "max_iters": FP_MAX_ITERS,
         })
     transition = transitions.MultinomialDynamicIntegrationTransition(
-        system, integrator, max_tree_depth=MAX_TREE_DEPTH)
+        system, integrator, max_tree_depth=MAX_TREE_DEPTH,
+        # ~4% faster steady-state than the default "fused" mode on this
+        # dim-2 target; compile time is excluded from the timed region.
+        loop_mode="doubling")
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def run(states, keys, n_iter):

@@ -917,7 +917,7 @@ class DynamicMultinomialHMC(HamiltonianMonteCarlo):
                  max_delta_h=1000.0,
                  termination_criterion=riemannian_no_u_turn_criterion,
                  do_extra_subtree_checks=True, momentum_transition=None,
-                 loop_mode="doubling"):
+                 loop_mode="fused"):
         integration_transition = MultinomialDynamicIntegrationTransition(
             system, integrator, max_tree_depth=max_tree_depth,
             max_delta_h=max_delta_h,
@@ -947,7 +947,7 @@ class DynamicSliceHMC(HamiltonianMonteCarlo):
                  max_delta_h=1000.0,
                  termination_criterion=euclidean_no_u_turn_criterion,
                  do_extra_subtree_checks=False, momentum_transition=None,
-                 loop_mode="doubling"):
+                 loop_mode="fused"):
         integration_transition = SliceDynamicIntegrationTransition(
             system, integrator, max_tree_depth=max_tree_depth,
             max_delta_h=max_delta_h,

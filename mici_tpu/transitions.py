@@ -365,7 +365,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
     def __init__(self, system, integrator, *, max_tree_depth=10,
                  max_delta_h=1000.0,
                  termination_criterion=riemannian_no_u_turn_criterion,
-                 do_extra_subtree_checks=True, loop_mode="doubling"):
+                 do_extra_subtree_checks=True, loop_mode="fused"):
         if max_tree_depth <= 0:
             msg = "max_tree_depth must be non-negative."
             raise ValueError(msg)
@@ -717,16 +717,17 @@ class DynamicIntegrationTransition(IntegrationTransition):
         ``loop_mode``); they make identical decisions on identical PRNG
         streams and differ only in program structure:
 
-        - ``"doubling"`` (default): nested ``while`` loops (doubling loop
-          over subtree builds).  Fastest steady-state on very
+        - ``"fused"`` (default): a single ``while`` loop over leaves with
+          a masked merge phase.  One less loop-nesting level compiles
+          5-30x faster (measured 3.4s vs 101s cold for dim-32 Euclidean
+          NUTS at 1024 chains; 19.7s vs 148s for dim-2 SoftAbs RMHMC) at
+          equal steady-state throughput for dim >= ~16 and <= 4% slower
+          on very low-dimensional targets.
+        - ``"doubling"``: nested ``while`` loops (doubling loop over
+          subtree builds).  Slightly fastest steady-state on very
           low-dimensional targets where per-leaf loop overhead is
-          comparable to the integrator step (measured ~10% faster at
-          dim 2, 1024 chains).
-        - ``"fused"``: a single ``while`` loop over leaves with a masked
-          merge phase.  One less loop-nesting level compiles 3-4x faster
-          for implicit-integrator programs (measured 6s vs 26s for
-          dim-16 dense-metric RMHMC NUTS) at equal steady-state
-          throughput for dim >= ~16.
+          comparable to the integrator step (measured ~4% faster at
+          dim 2, 1024 chains); used by the headline benchmark.
         """
         if self.loop_mode == "fused":
             return self._sample_fused(state, rng)
