@@ -66,7 +66,19 @@ def _as_key(rng):
 
 
 def _stack_states(states):
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    """Stack per-chain states along a new leading chain axis.
+
+    Host-resident (numpy) leaves are stacked with numpy so the whole
+    chain batch reaches the device as one transfer at the next jit
+    boundary; leaves already on device (or traced) use ``jnp.stack``.
+    """
+
+    def stack(*xs):
+        if any(isinstance(x, jax.Array) for x in xs):
+            return jnp.stack(xs)
+        return np.stack(xs)
+
+    return jax.tree_util.tree_map(stack, *states)
 
 
 def _index_states(batched, index):
@@ -669,7 +681,7 @@ class MarkovChainMonteCarloMethod:
         if isinstance(state, dict):
             return ChainState(**state)
         if not isinstance(state, ChainState):
-            return ChainState(pos=jnp.asarray(state), mom=None, dir=1)
+            return ChainState(pos=state, mom=None, dir=1)
         return state
 
     def _check_and_process_init_state(self, state):
@@ -805,7 +817,7 @@ class HamiltonianMonteCarlo(MarkovChainMonteCarloMethod):
         """
         if not isinstance(init_state, ChainState):
             init_state = ChainState(
-                pos=jnp.asarray(init_state), mom=None, dir=1,
+                pos=init_state, mom=None, dir=1,
             )
         init_state = self.system.prepare_state(init_state)
         if init_state.mom is None:

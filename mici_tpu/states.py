@@ -18,10 +18,29 @@ mici/transitions.py:33-43).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mici_tpu._pytree import register_pytree
 from mici_tpu import errors
+
+
+def _as_state_array(value, dtype=None):
+    """Coerce to an array WITHOUT forcing a device transfer.
+
+    Host inputs (lists, numpy arrays, scalars) stay numpy so that batched
+    driver paths can stack hundreds of per-chain states on the host and
+    upload the whole batch in one transfer at the jit boundary — per-chain
+    ``jnp.asarray`` device puts cost one round trip each and dominated
+    ``sample_chains`` startup at 1024 chains on remote backends.  Traced
+    or on-device values pass through unchanged.
+    """
+    if value is None:
+        return None
+    if isinstance(value, (jax.Array, jax.core.Tracer)):
+        return value if dtype is None else jnp.asarray(value, dtype)
+    return np.asarray(value) if dtype is None else np.asarray(value, dtype)
 
 
 def cache_in_state(*depends_on):
@@ -96,16 +115,16 @@ class ChainState:
 
     def __init__(self, pos=None, mom=None, dir=1, error=None, aux=None,
                  _read_only=False, **variables):
+        object.__setattr__(self, "pos", _as_state_array(pos))
+        object.__setattr__(self, "mom", _as_state_array(mom))
         object.__setattr__(
-            self, "pos", None if pos is None else jnp.asarray(pos),
+            self, "dir", _as_state_array(dir, dtype=jnp.int32),
         )
-        object.__setattr__(
-            self, "mom", None if mom is None else jnp.asarray(mom),
-        )
-        object.__setattr__(self, "dir", jnp.asarray(dir, dtype=jnp.int32))
         if error is None:
-            error = jnp.zeros((), dtype=jnp.int32)
-        object.__setattr__(self, "error", jnp.asarray(error, jnp.int32))
+            error = np.zeros((), dtype=np.int32)
+        object.__setattr__(
+            self, "error", _as_state_array(error, dtype=jnp.int32),
+        )
         object.__setattr__(self, "aux", {} if aux is None else aux)
         for name in variables:
             if name.startswith("_") or name == "copy":

@@ -230,6 +230,43 @@ class IntegrationTransition(Transition):
             "step_size": (float, jnp.nan),
         }
 
+    def _state_packer(self, state):
+        """Flat-vector codec for tree states of ``state``'s structure.
+
+        Tree states (edges, proposals, leaves) are carried through the
+        NUTS loops as single lane-contiguous vectors packing
+        ``(pos, mom, aux, variables)``: every masked select on a tree
+        state is then one kernel instead of one per pytree leaf (~6 for
+        a Euclidean state, more for Riemannian aux), which measures
+        ~2x on small-dimension targets where per-kernel cost dominates.
+        ``dir`` is not packed — within a subtree it equals the build
+        direction, which the unpacker reinstates — and ``error`` is
+        transient (leaves enter the tree cleared).
+
+        Returns ``(pack, unpack)`` with ``pack(state) -> flat`` and
+        ``unpack(flat, dir) -> ChainState``.
+        """
+        import jax.flatten_util as jfu
+
+        template = state
+        _, unravel = jfu.ravel_pytree(
+            (state.pos, state.mom, state.aux, state.variables),
+        )
+        zero_error = jnp.zeros_like(state.error)
+
+        def pack(s):
+            return jfu.ravel_pytree((s.pos, s.mom, s.aux, s.variables))[0]
+
+        def unpack(flat, dir):
+            pos, mom, aux, variables = unravel(flat)
+            return template.replace(
+                pos=pos, mom=mom, aux=aux, variables=variables,
+                dir=dir, error=zero_error,
+            )
+
+        return pack, unpack
+
+
 
 def _error_flags(error_bits):
     """Split an error bitmask into the reference's statistic flags."""
@@ -259,28 +296,34 @@ class MetropolisIntegrationTransition(IntegrationTransition):
     def _sample_n_step(self, state, n_step, rng):
         state = state.clear_error()
         h_init = self.system.h(state)
+        # Trajectory states ride through the step loop as flat-packed
+        # vectors (see _state_packer): the on-failure/accept selects are
+        # then one kernel each instead of one per state pytree leaf.
+        pack, unpack = self._state_packer(state)
+        dir0 = state.dir
+        flat0 = pack(state)
 
         def cond(carry):
-            s, i, stopped = carry
-            return (i < n_step) & ~stopped
+            flat, i, error_bits = carry
+            return (i < n_step) & (error_bits == 0)
 
         def body(carry):
-            s, i, _ = carry
-            s_new = self.integrator.step(s)
-            failed = s_new.error != 0
+            flat, i, _ = carry
+            stepped = self.integrator.step(unpack(flat, dir0))
+            failed = stepped.error != 0
             # On failure keep the pre-step state (the trajectory ends) but
             # retain error bits for the statistics.
-            s_next = _where_tree(failed, s.replace(error=s_new.error), s_new)
-            return (s_next, i + 1, failed)
+            flat_next = jnp.where(failed, flat, pack(stepped))
+            return (flat_next, i + 1, stepped.error)
 
-        state_p, n_done, stopped = lax.while_loop(
-            cond, body, (state, jnp.int32(0), jnp.bool_(False)),
+        flat_p, n_done, error_bits = lax.while_loop(
+            cond, body, (flat0, jnp.int32(0), jnp.int32(0)),
         )
-        flags = _error_flags(state_p.error)
-        integration_error = state_p.error != 0
+        flags = _error_flags(error_bits)
+        integration_error = error_bits != 0
         # Reverse integration direction of proposal to form an involution
         # (mici/transitions.py:298-299).
-        state_p = state_p.replace(dir=-state_p.dir).clear_error()
+        state_p = unpack(flat_p, -dir0)
         h_final = self.system.h(state_p)
         h_diff = h_init - h_final
         accept_prob = jnp.where(
@@ -290,9 +333,13 @@ class MetropolisIntegrationTransition(IntegrationTransition):
         accepted = (
             jax.random.uniform(rng, dtype=h_init.dtype) < accept_prob
         ) & ~integration_error
-        new_state = _where_tree(accepted, state_p, state)
-        # Reverse integration direction of new state (mici :311-314).
-        new_state = new_state.replace(dir=-new_state.dir)
+        # Accepted proposal keeps its (already reversed) direction; the
+        # trailing direction reversal of mici :311-314 then restores dir0
+        # on acceptance and flips it on rejection.
+        new_state = unpack(
+            jnp.where(accepted, flat_p, flat0),
+            jnp.where(accepted, dir0, -dir0),
+        )
         stats = {
             "n_step": jnp.where(integration_error, n_done - 1, n_done),
             "accept_stat": accept_prob,
@@ -417,42 +464,6 @@ class DynamicIntegrationTransition(IntegrationTransition):
         return jnp.concatenate(
             [state.pos, state.mom, self.system.dh_dmom(state)], axis=-1,
         )
-
-    def _state_packer(self, state):
-        """Flat-vector codec for tree states of ``state``'s structure.
-
-        Tree states (edges, proposals, leaves) are carried through the
-        NUTS loops as single lane-contiguous vectors packing
-        ``(pos, mom, aux, variables)``: every masked select on a tree
-        state is then one kernel instead of one per pytree leaf (~6 for
-        a Euclidean state, more for Riemannian aux), which measures
-        ~2x on small-dimension targets where per-kernel cost dominates.
-        ``dir`` is not packed — within a subtree it equals the build
-        direction, which the unpacker reinstates — and ``error`` is
-        transient (leaves enter the tree cleared).
-
-        Returns ``(pack, unpack)`` with ``pack(state) -> flat`` and
-        ``unpack(flat, dir) -> ChainState``.
-        """
-        import jax.flatten_util as jfu
-
-        template = state
-        _, unravel = jfu.ravel_pytree(
-            (state.pos, state.mom, state.aux, state.variables),
-        )
-        zero_error = jnp.zeros_like(state.error)
-
-        def pack(s):
-            return jfu.ravel_pytree((s.pos, s.mom, s.aux, s.variables))[0]
-
-        def unpack(flat, dir):
-            pos, mom, aux, variables = unravel(flat)
-            return template.replace(
-                pos=pos, mom=mom, aux=aux, variables=variables,
-                dir=dir, error=zero_error,
-            )
-
-        return pack, unpack
 
     def _crit(self, dir, first_arr, last_arr, sum_mom):
         """Oriented termination criterion on packed point arrays.
