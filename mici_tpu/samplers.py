@@ -118,6 +118,70 @@ default_hamiltonian_trace_func = SystemTraceFunc(
 )
 
 
+def _init_trace_summary(example, n_chain):
+    """Host-side zero state for per-chain running trace summaries.
+
+    One Welford accumulator (count/mean/M2) plus running min/max per
+    trace key and chain; uploaded to device once and threaded through
+    the compiled stage chunks (ROADMAP: on-device running-moment trace
+    summaries — the complement of ``trace_thin`` for runs where even
+    thinned traces exceed host budgets).
+    """
+    summary = {}
+    for key, val in example.items():
+        val = np.asarray(val)
+        fdtype = (val.dtype if np.issubdtype(val.dtype, np.floating)
+                  else np.float32)
+        shape = (n_chain, *val.shape)
+        summary[key] = {
+            "count": np.zeros(n_chain, np.int32),
+            "mean": np.zeros(shape, fdtype),
+            "m2": np.zeros(shape, fdtype),
+            "min": np.full(shape, np.inf, fdtype),
+            "max": np.full(shape, -np.inf, fdtype),
+        }
+    return summary
+
+
+def _update_trace_summary(summary, traces):
+    """One Welford + extrema step per trace key (inside the scan body)."""
+    new = {}
+    for key, s in summary.items():
+        x = traces[key].astype(s["mean"].dtype)
+        cnt = s["count"] + 1
+        delta = x - s["mean"]
+        mean = s["mean"] + delta / cnt.astype(s["mean"].dtype)
+        new[key] = {
+            "count": cnt,
+            "mean": mean,
+            "m2": s["m2"] + delta * (x - mean),
+            "min": jnp.minimum(s["min"], x),
+            "max": jnp.maximum(s["max"], x),
+        }
+    return new
+
+
+def _finalize_trace_summary(summary):
+    """Fetch and convert device summary state to {mean, var, min, max,
+    count} numpy dicts (variance NaN where fewer than 2 samples)."""
+    summary = jax.device_get(summary)
+    out = {}
+    for key, s in summary.items():
+        count = s["count"]
+        cnt = count.reshape(count.shape + (1,) * (s["mean"].ndim - 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            var = np.where(cnt > 1, s["m2"] / np.maximum(cnt - 1, 1),
+                           np.nan)
+        out[key] = {
+            "count": count,
+            "mean": s["mean"],
+            "var": var,
+            "min": s["min"],
+            "max": s["max"],
+        }
+    return out
+
+
 @jax.jit
 def _prepare_states_batch(system, states):
     """Populate aux entries for a whole chain batch in one program."""
@@ -152,11 +216,12 @@ def _propagate_system(transitions, system):
     jax.jit,
     static_argnames=(
         "trans_keys", "adapters", "trace_funcs", "n_iter", "trace_thin",
+        "summarize",
     ),
 )
-def _run_stage_chunk(transitions, states, keys, params, adapt_states, *,
-                     trans_keys, adapters, trace_funcs, n_iter,
-                     trace_thin=1):
+def _run_stage_chunk(transitions, states, keys, params, adapt_states,
+                     summary=None, *, trans_keys, adapters, trace_funcs,
+                     n_iter, trace_thin=1, summarize=False):
     """Run ``n_iter`` iterations for all chains (vmapped scan).
 
     The compiled replacement for the reference's per-chain iteration loop
@@ -176,12 +241,17 @@ def _run_stage_chunk(transitions, states, keys, params, adapt_states, *,
         adapters: Static dict-as-tuple ``((trans_key, (adapter, ...)), ...)``.
         trace_funcs: Static tuple of trace functions or None.
         n_iter: Static chunk length.
+        summary: Per-chain running trace-summary state (or None).
+        summarize: False | True | "only" — accumulate running summaries
+            of the trace values on device; ``"only"`` additionally drops
+            the per-iteration trace outputs (no host trace storage).
     """
     adapters_dict = dict(adapters)
 
-    def chain_fn(state, key, chain_params, chain_adapt_states):
+    def chain_fn(state, key, chain_params, chain_adapt_states,
+                 chain_summary):
         def body(carry, _):
-            state, key, params, adapt_states = carry
+            state, key, params, adapt_states, summary = carry
             all_stats = {}
             for trans_key in trans_keys:
                 key, subkey = jax.random.split(key)
@@ -221,11 +291,17 @@ def _run_stage_chunk(transitions, states, keys, params, adapt_states, *,
                         traces.update(trace_func(state))
             else:
                 traces = {}
-            return (state, key, params, adapt_states), (traces, all_stats)
+            if summarize:
+                summary = _update_trace_summary(summary, traces)
+            out_traces = {} if summarize == "only" else traces
+            return (state, key, params, adapt_states, summary), (
+                out_traces, all_stats)
 
-        (state, key, params, adapt_states), (traces, stats) = jax.lax.scan(
-            body, (state, key, chain_params, chain_adapt_states), None,
-            length=n_iter,
+        (state, key, params, adapt_states, chain_summary), (
+            traces, stats) = jax.lax.scan(
+            body,
+            (state, key, chain_params, chain_adapt_states, chain_summary),
+            None, length=n_iter,
         )
         if trace_thin > 1:
             # Record the last iteration of each thin-block: slicing on
@@ -234,9 +310,9 @@ def _run_stage_chunk(transitions, states, keys, params, adapt_states, *,
             traces = jax.tree_util.tree_map(
                 lambda a: a[trace_thin - 1::trace_thin], traces,
             )
-        return state, key, params, adapt_states, traces, stats
+        return state, key, params, adapt_states, traces, stats, chain_summary
 
-    return jax.vmap(chain_fn)(states, keys, params, adapt_states)
+    return jax.vmap(chain_fn)(states, keys, params, adapt_states, summary)
 
 
 @functools.partial(jax.jit, static_argnames=("trans_keys", "adapters"))
@@ -278,6 +354,8 @@ class MCMCSampleChainsOutputs(NamedTuple):
     final_states: list
     traces: dict | None
     statistics: dict
+    #: Per-chain running trace summaries (``trace_summary=``), or None.
+    trace_summaries: dict | None = None
 
 
 class HMCSampleChainsOutputs(NamedTuple):
@@ -289,6 +367,8 @@ class HMCSampleChainsOutputs(NamedTuple):
     final_states: list
     traces: dict | None
     statistics: dict
+    #: Per-chain running trace summaries (``trace_summary=``), or None.
+    trace_summaries: dict | None = None
 
 
 def _open_new_memmap(file_path, shape, default_value, dtype):
@@ -344,6 +424,7 @@ class MarkovChainMonteCarloMethod:
                       memmap_path=None, monitor_stats=None,
                       display_progress=True, progress_bar_class=None,
                       chunk_size=None, mesh=None, trace_thin=1,
+                      trace_summary=False,
                       n_worker=1, n_process=None,
                       use_thread_pool=False, max_threads_per_worker=None):
         """Sample Markov chains with optional adaptive warm up.
@@ -385,6 +466,16 @@ class MarkovChainMonteCarloMethod:
                 transfer and storage by that factor for very long runs.
                 Statistics are always recorded per iteration.  1 (default)
                 records every iteration.
+            trace_summary: Accumulate per-chain running summaries of all
+                trace values on device (count, mean, variance, min, max
+                per trace key — Welford accumulators threaded through the
+                compiled stage programs, one host fetch at the end).
+                Summaries always see *every* recorded iteration even when
+                per-iteration traces are thinned.  ``True`` returns them
+                in the ``trace_summaries`` output field alongside the
+                traces; ``"only"`` additionally drops per-iteration trace
+                storage entirely (for runs where even thinned traces
+                exceed host budgets); ``False`` (default) disables.
 
         Returns:
             MCMCSampleChainsOutputs(final_states, traces, statistics).
@@ -454,8 +545,13 @@ class MarkovChainMonteCarloMethod:
         trace_funcs = (tuple(trace_funcs)
                        if trace_funcs is not None else None)
 
+        if trace_summary not in (False, True, "only"):
+            msg = 'trace_summary must be False, True or "only".'
+            raise ValueError(msg)
+
         # Allocate host buffers for traces and statistics.
         traces = None
+        summary_state = None
         if trace_funcs and n_trace_rows > 0:
             example = {}
             example_system = self._get_system()
@@ -467,8 +563,11 @@ class MarkovChainMonteCarloMethod:
                     )
                 else:
                     example.update(trace_func(example_state))
-            traces = {}
-            for key, val in example.items():
+            if trace_summary:
+                summary_state = _init_trace_summary(example, n_chain)
+            traces = {} if trace_summary != "only" else None
+            for key, val in (
+                example.items() if trace_summary != "only" else ()):
                 val = np.asarray(val)
                 init = (np.nan if np.issubdtype(val.dtype, np.inexact)
                         else 0)
@@ -577,13 +676,20 @@ class MarkovChainMonteCarloMethod:
                         while n_remaining > 0:
                             this_chunk = min(chunk, n_remaining)
                             (states, chain_keys, params, adapt_states,
-                             chunk_traces, chunk_stats) = _run_stage_chunk(
+                             chunk_traces, chunk_stats,
+                             summary_state) = _run_stage_chunk(
                                 transitions, states, chain_keys, params,
-                                adapt_states, trans_keys=trans_keys,
+                                adapt_states, summary_state,
+                                trans_keys=trans_keys,
                                 adapters=stage_adapters,
                                 trace_funcs=stage_trace_funcs,
                                 n_iter=this_chunk,
                                 trace_thin=trace_thin,
+                                summarize=(
+                                    trace_summary
+                                    if (trace_summary
+                                        and stage_trace_funcs is not None)
+                                    else False),
                             )
                             if pending is not None:
                                 merge_flags(self._drain_chunk(
@@ -668,7 +774,10 @@ class MarkovChainMonteCarloMethod:
 
         self._transitions = transitions
         final_states = _unstack_states(jax.device_get(states), n_chain)
-        return MCMCSampleChainsOutputs(final_states, traces, stats)
+        trace_summaries = (_finalize_trace_summary(summary_state)
+                           if summary_state is not None else None)
+        return MCMCSampleChainsOutputs(
+            final_states, traces, stats, trace_summaries)
 
     # -- helpers -----------------------------------------------------------
 
@@ -872,13 +981,16 @@ class HamiltonianMonteCarlo(MarkovChainMonteCarloMethod):
             kwargs["adapters"] = {
                 "integration_transition": kwargs["adapters"],
             }
-        final_states, traces, stats = super().sample_chains(
-            n_warm_up_iter, n_main_iter, init_states, **kwargs,
+        final_states, traces, stats, trace_summaries = (
+            super().sample_chains(
+                n_warm_up_iter, n_main_iter, init_states, **kwargs,
+            )
         )
         stats = stats.get("integration_transition", {})
         # Refresh the system reference to the adapter-tuned version.
         self.system = self.transitions["integration_transition"].system
-        return HMCSampleChainsOutputs(final_states, traces, stats)
+        return HMCSampleChainsOutputs(
+            final_states, traces, stats, trace_summaries)
 
 
 class StaticMetropolisHMC(HamiltonianMonteCarlo):

@@ -478,3 +478,66 @@ def test_trace_thin_validation():
         sampler.sample_chains(
             0, 4, _init_states(2), trace_thin=0, display_progress=False,
         )
+
+
+def test_trace_summary_matches_full_traces():
+    """Running summaries equal moments of the full traces, including with
+    thinned per-iteration traces (summaries see every iteration) and
+    chunked multi-stage execution."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_full = sampler_a.sample_chains(
+        10, 40, _init_states(), display_progress=False,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_sum = sampler_b.sample_chains(
+        10, 40, _init_states(), trace_summary=True, trace_thin=4,
+        chunk_size=7, display_progress=False,
+    )
+    full = np.asarray(out_full.traces["pos"])
+    summ = out_sum.trace_summaries["pos"]
+    np.testing.assert_array_equal(summ["count"], 40)
+    np.testing.assert_allclose(summ["mean"], full.mean(axis=1), atol=1e-8)
+    np.testing.assert_allclose(
+        summ["var"], full.var(axis=1, ddof=1), atol=1e-8,
+    )
+    np.testing.assert_allclose(summ["min"], full.min(axis=1), atol=1e-12)
+    np.testing.assert_allclose(summ["max"], full.max(axis=1), atol=1e-12)
+    # scalar trace key too
+    h = out_sum.trace_summaries["hamiltonian"]
+    assert h["mean"].shape == (N_CHAIN,)
+    # thinned traces still recorded alongside
+    assert out_sum.traces["pos"].shape[1] == 40 // 4
+
+
+def test_trace_summary_only_drops_trace_storage():
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system, 0.5)
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_full = sampler_a.sample_chains(
+        0, 32, _init_states(), adapters=None, display_progress=False,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out = sampler_b.sample_chains(
+        0, 32, _init_states(), adapters=None, trace_summary="only",
+        display_progress=False,
+    )
+    assert out.traces is None
+    full = np.asarray(out_full.traces["pos"])
+    np.testing.assert_allclose(
+        out.trace_summaries["pos"]["mean"], full.mean(axis=1), atol=1e-8,
+    )
+    # statistics unaffected
+    assert out.statistics["accept_stat"].shape == (N_CHAIN, 32)
+
+
+def test_trace_summary_validation():
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system, 0.5)
+    sampler = samplers.StaticMetropolisHMC(system, integ, SEED, n_step=2)
+    with pytest.raises(ValueError, match="trace_summary"):
+        sampler.sample_chains(
+            0, 4, _init_states(2), trace_summary="bogus",
+            display_progress=False,
+        )
