@@ -209,8 +209,14 @@ def config_5_massively_parallel(n_chain=4096, dim=100, seed=0, mesh=None):
     neg_log_dens, _ = correlated_gaussian(dim, seed)
     system = systems.EuclideanMetricSystem(neg_log_dens)
     integrator = integrators.LeapfrogIntegrator(system)
+    # Vmapped NUTS executes the max tree depth over the whole batch each
+    # iteration, so the depth cap is a first-order throughput knob.  A
+    # measured sweep on this target (docs/BENCHMARKS.md round-2b) found
+    # identical per-iteration ESS for caps 4-7 (the adapted kernel
+    # U-turns at ~14 leapfrog steps) while the depth-7 lockstep cost
+    # 2.25x more wall time; the reference comparison runs the same cap.
     sampler = samplers.DynamicMultinomialHMC(
-        system, integrator, seed, max_tree_depth=7,
+        system, integrator, seed, max_tree_depth=4,
     )
     rng = np.random.default_rng(seed + 1)
     init_states = list(rng.standard_normal((n_chain, dim)))

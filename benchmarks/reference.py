@@ -167,7 +167,7 @@ def grad(q):
 system = mici.systems.EuclideanMetricSystem(nld, grad_neg_log_dens=grad)
 integrator = mici.integrators.LeapfrogIntegrator(system)
 sampler = mici.samplers.DynamicMultinomialHMC(
-    system, integrator, np.random.default_rng(1234), max_tree_depth=7)
+    system, integrator, np.random.default_rng(1234), max_tree_depth=4)
 init = [np.random.default_rng(1).standard_normal(dim)]
 kwargs = {"adapters": [mici.adapters.DualAveragingStepSizeAdapter()]}
 N_WARM, N_MAIN = %(n_warm)d, %(n_iter)d

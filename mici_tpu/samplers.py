@@ -712,8 +712,14 @@ class MarkovChainMonteCarloMethod:
                             offset_in_stage += this_chunk
                             trace_offset_in_stage += chunk_trace_rows
                             n_remaining -= this_chunk
-                            postfix = self._monitor_postfix(
-                                monitor_stats, chunk_stats,
+                            # Monitored-stat means cost one device fetch
+                            # (round trip) per chunk: skip them when no
+                            # progress is displayed.
+                            postfix = (
+                                None if display_progress is False
+                                else self._monitor_postfix(
+                                    monitor_stats, chunk_stats,
+                                )
                             )
                             pb.update(
                                 offset_in_stage,
