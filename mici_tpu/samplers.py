@@ -27,7 +27,7 @@ import functools
 import logging
 import warnings
 from pathlib import Path
-from typing import NamedTuple
+
 
 import jax
 import jax.numpy as jnp
@@ -345,30 +345,56 @@ def _init_adapters(transitions, states, *, trans_keys, adapters):
     return jax.vmap(chain_fn)(states)
 
 
-class MCMCSampleChainsOutputs(NamedTuple):
+class _SampleChainsOutputs(tuple):
+    """Named 3-tuple of sampling outputs plus a ``trace_summaries``
+    attribute.
+
+    Unpacking stays reference-compatible (exactly three elements:
+    ``final_states, traces, statistics = outputs``); the optional
+    running-summary results of ``sample_chains(trace_summary=...)`` ride
+    along as a plain attribute so they cannot break positional callers.
+    """
+
+    _fields = ("final_states", "traces", "statistics")
+
+    def __new__(cls, final_states, traces, statistics,
+                trace_summaries=None):
+        obj = super().__new__(cls, (final_states, traces, statistics))
+        obj.trace_summaries = trace_summaries
+        return obj
+
+    @property
+    def final_states(self):
+        return self[0]
+
+    @property
+    def traces(self):
+        return self[1]
+
+    @property
+    def statistics(self):
+        return self[2]
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(final_states=..., traces=..., "
+            f"statistics=..., trace_summaries="
+            f"{'...' if self.trace_summaries is not None else None})"
+        )
+
+
+class MCMCSampleChainsOutputs(_SampleChainsOutputs):
     """Outputs of a MarkovChainMonteCarloMethod.sample_chains call.
 
     Reference: mici/samplers.py:808-836.
     """
 
-    final_states: list
-    traces: dict | None
-    statistics: dict
-    #: Per-chain running trace summaries (``trace_summary=``), or None.
-    trace_summaries: dict | None = None
 
-
-class HMCSampleChainsOutputs(NamedTuple):
+class HMCSampleChainsOutputs(_SampleChainsOutputs):
     """Outputs of a HamiltonianMonteCarlo.sample_chains call.
 
     Reference: mici/samplers.py:1151-1177.
     """
-
-    final_states: list
-    traces: dict | None
-    statistics: dict
-    #: Per-chain running trace summaries (``trace_summary=``), or None.
-    trace_summaries: dict | None = None
 
 
 def _open_new_memmap(file_path, shape, default_value, dtype):
@@ -987,16 +1013,14 @@ class HamiltonianMonteCarlo(MarkovChainMonteCarloMethod):
             kwargs["adapters"] = {
                 "integration_transition": kwargs["adapters"],
             }
-        final_states, traces, stats, trace_summaries = (
-            super().sample_chains(
-                n_warm_up_iter, n_main_iter, init_states, **kwargs,
-            )
+        out = super().sample_chains(
+            n_warm_up_iter, n_main_iter, init_states, **kwargs,
         )
-        stats = stats.get("integration_transition", {})
+        stats = out.statistics.get("integration_transition", {})
         # Refresh the system reference to the adapter-tuned version.
         self.system = self.transitions["integration_transition"].system
         return HMCSampleChainsOutputs(
-            final_states, traces, stats, trace_summaries)
+            out.final_states, out.traces, stats, out.trace_summaries)
 
 
 class StaticMetropolisHMC(HamiltonianMonteCarlo):
