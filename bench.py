@@ -24,7 +24,7 @@ CHUNK = 16           # one compiled program is reused for warm-up and main
 N_WARM = 32
 N_MAIN = 192
 STEP_SIZE = 0.2
-MAX_TREE_DEPTH = 5
+MAX_TREE_DEPTH = 4  # measured ESS/s optimum under vmapped lockstep
 SOFTABS_COEFF = 1.0
 FP_TOL = 1e-5
 FP_MAX_ITERS = 30

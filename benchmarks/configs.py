@@ -87,8 +87,13 @@ def config_2_nuts_adaptive(n_chain=4, seed=0):
     neg_log_dens, dim = hierarchical_logistic_regression(seed=seed)
     system = systems.EuclideanMetricSystem(neg_log_dens)
     integrator = integrators.LeapfrogIntegrator(system)
+    # Depth cap chosen by a measured lockstep sweep (see config 5 /
+    # docs/BENCHMARKS.md round-2b): the adapted kernel U-turns at ~6.8
+    # leapfrog steps and per-iteration ESS is identical for caps 3-8,
+    # while lockstep wall time scales with the cap.  The reference
+    # comparison mirrors the same cap.
     sampler = samplers.DynamicMultinomialHMC(
-        system, integrator, seed, max_tree_depth=8,
+        system, integrator, seed, max_tree_depth=3,
     )
     rng = np.random.default_rng(seed + 1)
     init_states = list(rng.standard_normal((n_chain, dim)) * 0.5)
@@ -120,8 +125,12 @@ def config_3_riemannian(n_chain=1024, seed=0, fp_tol=1e-5,
             "convergence_tol": fp_tol, "max_iters": 30,
         },
     )
+    # Depth cap from a measured lockstep sweep (docs/BENCHMARKS.md
+    # round-2b): depth 4 is the ESS/s optimum for this target (depth 3
+    # truncates the banana's long trajectories, depth 5 wastes lockstep
+    # time); the reference comparison mirrors the same cap.
     sampler = samplers.DynamicMultinomialHMC(
-        system, integrator, seed, max_tree_depth=5,
+        system, integrator, seed, max_tree_depth=4,
     )
     rng = np.random.default_rng(seed + 1)
     init_states = list(rng.standard_normal((n_chain, 2)) * 0.5)

@@ -101,7 +101,7 @@ def grad(q):
 system = mici.systems.EuclideanMetricSystem(nld, grad_neg_log_dens=grad)
 integrator = mici.integrators.LeapfrogIntegrator(system)
 sampler = mici.samplers.DynamicMultinomialHMC(
-    system, integrator, np.random.default_rng(1234), max_tree_depth=8)
+    system, integrator, np.random.default_rng(1234), max_tree_depth=3)
 init = [np.random.default_rng(1).standard_normal(n_feature + 1) * 0.5]
 kwargs = {"adapters": [
     mici.adapters.DualAveragingStepSizeAdapter(),
@@ -139,7 +139,7 @@ system = mici.systems.DenseConstrainedEuclideanMetricSystem(
 integrator = mici.integrators.ConstrainedLeapfrogIntegrator(
     system, step_size=0.15, n_inner_step=2)
 sampler = mici.samplers.DynamicMultinomialHMC(
-    system, integrator, np.random.default_rng(1234), max_tree_depth=5)
+    system, integrator, np.random.default_rng(1234), max_tree_depth=4)
 theta = np.random.default_rng(1).uniform(0, 2 * np.pi, 2)
 init = [np.array([
     (r_major + r_minor * np.cos(theta[0])) * np.cos(theta[1]),
