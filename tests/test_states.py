@@ -107,3 +107,51 @@ def test_mom_none_allowed():
     leaves, treedef = jax.tree_util.tree_flatten(state)
     rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
     assert rebuilt.mom is None
+
+
+def test_value_hashed_static_functions_share_jit_cache():
+    """Identically-defined model functions (same code, equal closure
+    values) produce pytree statics that compare equal, so recreating a
+    system does not retrace compiled programs; differing closure values
+    or code objects stay distinct (no false cache sharing)."""
+    import jax
+
+    from mici_tpu import systems
+
+    def make(scale):
+        def nld(q):
+            return 0.5 * scale * (q**2).sum()
+
+        return systems.EuclideanMetricSystem(nld)
+
+    s_a, s_b, s_c = make(1.0), make(1.0), make(2.0)
+    _, aux_a = jax.tree_util.tree_flatten(s_a)
+    _, aux_b = jax.tree_util.tree_flatten(s_b)
+    _, aux_c = jax.tree_util.tree_flatten(s_c)
+    assert aux_a == aux_b
+    assert hash(aux_a) == hash(aux_b)
+    assert aux_a != aux_c
+
+    def nld_other(q):
+        return (q**4).sum()
+
+    _, aux_d = jax.tree_util.tree_flatten(
+        systems.EuclideanMetricSystem(nld_other))
+    assert aux_a != aux_d
+
+    calls = []
+    @jax.jit
+    def h(system, q):
+        calls.append(1)
+        state = system.prepare_state(ChainState(pos=q, mom=q))
+        return system.h(state)
+
+    q = jnp.ones(3)
+    v_a = h(s_a, q)
+    n_after_first = len(calls)
+    v_b = h(s_b, q)           # same definition: no retrace
+    assert len(calls) == n_after_first
+    v_c = h(s_c, q)           # different closure value: retrace
+    assert len(calls) == n_after_first + 1
+    assert float(v_a) == float(v_b)
+    assert float(v_a) != float(v_c)
