@@ -541,3 +541,31 @@ def test_trace_summary_validation():
             0, 4, _init_states(2), trace_summary="bogus",
             display_progress=False,
         )
+
+
+def test_trace_summary_sharded_matches_unsharded():
+    """Running trace summaries compose with chain-axis mesh sharding."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    n_chain = 8
+    mesh = parallel.make_chain_mesh()
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_a = sampler_a.sample_chains(
+        10, 24, _init_states(n_chain), trace_summary=True,
+        display_progress=False,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_b = sampler_b.sample_chains(
+        10, 24, _init_states(n_chain), trace_summary=True, mesh=mesh,
+        display_progress=False,
+    )
+    for key in ("pos", "hamiltonian"):
+        for stat in ("count", "mean", "var", "min", "max"):
+            np.testing.assert_allclose(
+                out_a.trace_summaries[key][stat],
+                out_b.trace_summaries[key][stat], atol=1e-8,
+            )
+    full = np.asarray(out_a.traces["pos"])
+    np.testing.assert_allclose(
+        out_b.trace_summaries["pos"]["mean"], full.mean(axis=1), atol=1e-8,
+    )
