@@ -43,6 +43,7 @@ from mici_tpu.progressbars import (
     LabelledSequenceProgressBar,
     SequenceProgressBar,
 )
+from mici_tpu import sketches
 from mici_tpu.stagers import WarmUpStager, WindowedWarmUpStager
 from mici_tpu.states import ChainState
 from mici_tpu.transitions import (
@@ -118,14 +119,16 @@ default_hamiltonian_trace_func = SystemTraceFunc(
 )
 
 
-def _init_trace_summary(example, n_chain):
+def _init_trace_summary(example, n_chain, quantiles=()):
     """Host-side zero state for per-chain running trace summaries.
 
     One Welford accumulator (count/mean/M2) plus running min/max per
-    trace key and chain; uploaded to device once and threaded through
-    the compiled stage chunks (ROADMAP: on-device running-moment trace
-    summaries — the complement of ``trace_thin`` for runs where even
-    thinned traces exceed host budgets).
+    trace key and chain — and, when ``quantiles`` is non-empty, a P²
+    streaming quantile sketch per (chain, trace element, quantile) —
+    uploaded to device once and threaded through the compiled stage
+    chunks (ROADMAP: on-device running-moment trace summaries — the
+    complement of ``trace_thin`` for runs where even thinned traces
+    exceed host budgets).
     """
     summary = {}
     for key, val in example.items():
@@ -140,11 +143,14 @@ def _init_trace_summary(example, n_chain):
             "min": np.full(shape, np.inf, fdtype),
             "max": np.full(shape, -np.inf, fdtype),
         }
+        if quantiles:
+            summary[key]["p2"] = sketches.p2_init(shape, quantiles, fdtype)
     return summary
 
 
-def _update_trace_summary(summary, traces):
-    """One Welford + extrema step per trace key (inside the scan body)."""
+def _update_trace_summary(summary, traces, quantiles=()):
+    """One Welford + extrema (+ P² sketch) step per trace key (inside
+    the scan body)."""
     new = {}
     for key, s in summary.items():
         x = traces[key].astype(s["mean"].dtype)
@@ -158,12 +164,15 @@ def _update_trace_summary(summary, traces):
             "min": jnp.minimum(s["min"], x),
             "max": jnp.maximum(s["max"], x),
         }
+        if quantiles:
+            new[key]["p2"] = sketches.p2_update(s["p2"], x, quantiles)
     return new
 
 
-def _finalize_trace_summary(summary):
+def _finalize_trace_summary(summary, quantiles=()):
     """Fetch and convert device summary state to {mean, var, min, max,
-    count} numpy dicts (variance NaN where fewer than 2 samples)."""
+    count[, quantiles]} numpy dicts (variance NaN where fewer than 2
+    samples; quantile estimates are P² approximations)."""
     summary = jax.device_get(summary)
     out = {}
     for key, s in summary.items():
@@ -179,6 +188,11 @@ def _finalize_trace_summary(summary):
             "min": s["min"],
             "max": s["max"],
         }
+        if quantiles:
+            out[key]["quantile_levels"] = np.asarray(quantiles)
+            out[key]["quantiles"] = sketches.p2_estimate(
+                s["p2"], quantiles,
+            )
     return out
 
 
@@ -216,12 +230,13 @@ def _propagate_system(transitions, system):
     jax.jit,
     static_argnames=(
         "trans_keys", "adapters", "trace_funcs", "n_iter", "trace_thin",
-        "summarize",
+        "summarize", "summary_quantiles",
     ),
 )
 def _run_stage_chunk(transitions, states, keys, params, adapt_states,
                      summary=None, *, trans_keys, adapters, trace_funcs,
-                     n_iter, trace_thin=1, summarize=False):
+                     n_iter, trace_thin=1, summarize=False,
+                     summary_quantiles=()):
     """Run ``n_iter`` iterations for all chains (vmapped scan).
 
     The compiled replacement for the reference's per-chain iteration loop
@@ -292,7 +307,9 @@ def _run_stage_chunk(transitions, states, keys, params, adapt_states,
             else:
                 traces = {}
             if summarize:
-                summary = _update_trace_summary(summary, traces)
+                summary = _update_trace_summary(
+                    summary, traces, summary_quantiles,
+                )
             out_traces = {} if summarize == "only" else traces
             return (state, key, params, adapt_states, summary), (
                 out_traces, all_stats)
@@ -450,7 +467,7 @@ class MarkovChainMonteCarloMethod:
                       memmap_path=None, monitor_stats=None,
                       display_progress=True, progress_bar_class=None,
                       chunk_size=None, mesh=None, trace_thin=1,
-                      trace_summary=False,
+                      trace_summary=False, trace_summary_quantiles=None,
                       n_worker=1, n_process=None,
                       use_thread_pool=False, max_threads_per_worker=None):
         """Sample Markov chains with optional adaptive warm up.
@@ -502,6 +519,12 @@ class MarkovChainMonteCarloMethod:
                 traces; ``"only"`` additionally drops per-iteration trace
                 storage entirely (for runs where even thinned traces
                 exceed host budgets); ``False`` (default) disables.
+            trace_summary_quantiles: Optional sequence of quantile levels
+                in (0, 1).  When given, the summaries additionally carry
+                streaming P² quantile-sketch estimates (Jain & Chlamtac
+                1985) per chain and trace element under ``"quantiles"``
+                (with ``"quantile_levels"``); implies
+                ``trace_summary=True`` when it was left as False.
 
         Returns:
             MCMCSampleChainsOutputs(final_states, traces, statistics).
@@ -574,6 +597,20 @@ class MarkovChainMonteCarloMethod:
         if trace_summary not in (False, True, "only"):
             msg = 'trace_summary must be False, True or "only".'
             raise ValueError(msg)
+        if trace_summary_quantiles is not None:
+            summary_quantiles = tuple(
+                float(q) for q in trace_summary_quantiles
+            )
+            if not summary_quantiles or not all(
+                0.0 < q < 1.0 for q in summary_quantiles
+            ):
+                msg = ("trace_summary_quantiles must be a non-empty "
+                       "sequence of levels strictly between 0 and 1.")
+                raise ValueError(msg)
+            if trace_summary is False:
+                trace_summary = True
+        else:
+            summary_quantiles = ()
 
         # Allocate host buffers for traces and statistics.
         traces = None
@@ -590,7 +627,9 @@ class MarkovChainMonteCarloMethod:
                 else:
                     example.update(trace_func(example_state))
             if trace_summary:
-                summary_state = _init_trace_summary(example, n_chain)
+                summary_state = _init_trace_summary(
+                    example, n_chain, summary_quantiles,
+                )
             traces = {} if trace_summary != "only" else None
             for key, val in (
                 example.items() if trace_summary != "only" else ()):
@@ -716,6 +755,7 @@ class MarkovChainMonteCarloMethod:
                                     if (trace_summary
                                         and stage_trace_funcs is not None)
                                     else False),
+                                summary_quantiles=summary_quantiles,
                             )
                             if pending is not None:
                                 merge_flags(self._drain_chunk(
@@ -806,8 +846,9 @@ class MarkovChainMonteCarloMethod:
 
         self._transitions = transitions
         final_states = _unstack_states(jax.device_get(states), n_chain)
-        trace_summaries = (_finalize_trace_summary(summary_state)
-                           if summary_state is not None else None)
+        trace_summaries = (
+            _finalize_trace_summary(summary_state, summary_quantiles)
+            if summary_state is not None else None)
         return MCMCSampleChainsOutputs(
             final_states, traces, stats, trace_summaries)
 

@@ -569,3 +569,43 @@ def test_trace_summary_sharded_matches_unsharded():
     np.testing.assert_allclose(
         out_b.trace_summaries["pos"]["mean"], full.mean(axis=1), atol=1e-8,
     )
+
+
+def test_trace_summary_quantile_sketches():
+    """P² quantile-sketch estimates track the empirical quantiles of the
+    full traces (approximate: the sketch uses O(1) memory per level)."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    levels = (0.1, 0.5, 0.9)
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_full = sampler_a.sample_chains(
+        10, 200, _init_states(), display_progress=False,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out = sampler_b.sample_chains(
+        10, 200, _init_states(), trace_summary_quantiles=levels,
+        trace_thin=10, display_progress=False,
+    )
+    summ = out.trace_summaries["pos"]
+    np.testing.assert_array_equal(summ["quantile_levels"], levels)
+    est = summ["quantiles"]                       # (chain, dim, level)
+    assert est.shape == (N_CHAIN, DIM, len(levels))
+    full = np.asarray(out_full.traces["pos"])     # (chain, iter, dim)
+    true = np.quantile(full, levels, axis=1)      # (level, chain, dim)
+    true = np.moveaxis(true, 0, -1)
+    scale = full.std(axis=1)[..., None] + 1e-8
+    err = np.abs(est - true) / scale
+    # generous tolerance: 200 observations, approximate sketch
+    assert np.median(err) < 0.1
+    assert np.max(err) < 0.8
+
+
+def test_trace_summary_quantile_validation():
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system, 0.5)
+    sampler = samplers.StaticMetropolisHMC(system, integ, SEED, n_step=2)
+    with pytest.raises(ValueError, match="quantile"):
+        sampler.sample_chains(
+            0, 4, _init_states(2), trace_summary_quantiles=(0.0, 0.5),
+            display_progress=False,
+        )
