@@ -90,12 +90,6 @@ def _unstack_states(batched, n_chain):
     return [_index_states(batched, i) for i in range(n_chain)]
 
 
-def _set_step_size(transition, step_size):
-    return transition.replace(
-        integrator=transition.integrator.replace(step_size=step_size),
-    )
-
-
 class SystemTraceFunc:
     """Marker wrapping a trace function that depends on the system.
 
@@ -244,6 +238,17 @@ def _run_stage_chunk(transitions, states, keys, params, adapt_states,
     order, applies the active adapters, and emits trace values and
     transition statistics.
 
+    The loop structure is a *scan of batched bodies* (not a vmap of
+    per-chain scans): each scan iteration advances the whole chain batch
+    through every transition via ``transition.sample_batch`` — a vmap of
+    ``sample`` by default, but overridable with batch-level execution
+    strategies such as the dynamic transitions' depth-tail re-batching
+    (which gathers unfinished chains into a fixed-slot batch and cannot
+    be expressed inside a per-chain vmap).  Adapter updates and trace
+    functions run per chain under ``vmap`` inside the same body, so for
+    default transitions the compiled program is identical to the former
+    vmap-of-scan formulation (bit-identical outputs).
+
     Args:
         transitions: Dict of transition pytrees (broadcast over chains).
         states: Chain states batched on leading axis.
@@ -262,74 +267,84 @@ def _run_stage_chunk(transitions, states, keys, params, adapt_states,
             the per-iteration trace outputs (no host trace storage).
     """
     adapters_dict = dict(adapters)
+    system = None
+    for transition in transitions.values():
+        if hasattr(transition, "system"):
+            system = transition.system
+            break
 
-    def chain_fn(state, key, chain_params, chain_adapt_states,
-                 chain_summary):
-        def body(carry, _):
-            state, key, params, adapt_states, summary = carry
-            all_stats = {}
-            for trans_key in trans_keys:
-                key, subkey = jax.random.split(key)
-                transition = transitions[trans_key]
-                t_params = params.get(trans_key, {})
-                if "step_size" in t_params:
-                    transition = _set_step_size(
-                        transition, t_params["step_size"],
+    def body(carry, _):
+        states, keys, params, adapt_states, summary = carry
+        all_stats = {}
+        for trans_key in trans_keys:
+            # Per-chain key streams: row 0 is the carried key, row 1 the
+            # subkey — the batched form of ``key, subkey = split(key)``.
+            splits = jax.vmap(jax.random.split)(keys)
+            keys, subkeys = splits[:, 0], splits[:, 1]
+            transition = transitions[trans_key]
+            t_params = params.get(trans_key, {})
+            states, stats = transition.sample_batch(
+                states, subkeys, t_params,
+            )
+            if trans_key in adapters_dict:
+                new_adapt_states = []
+                for i, adapter in enumerate(adapters_dict[trans_key]):
+                    a_state, t_params = jax.vmap(adapter.update)(
+                        adapt_states[trans_key][i], states, stats,
+                        t_params,
                     )
-                state, stats = transition.sample(state, subkey)
-                if trans_key in adapters_dict:
-                    new_adapt_states = []
-                    for i, adapter in enumerate(adapters_dict[trans_key]):
-                        a_state, t_params = adapter.update(
-                            adapt_states[trans_key][i], state, stats,
-                            t_params,
-                        )
-                        new_adapt_states.append(a_state)
-                    adapt_states = {
-                        **adapt_states,
-                        trans_key: tuple(new_adapt_states),
-                    }
-                    params = {**params, trans_key: t_params}
-                if stats is not None:
-                    all_stats[trans_key] = stats
-            if trace_funcs is not None:
-                system = None
-                for transition in transitions.values():
-                    if hasattr(transition, "system"):
-                        system = transition.system
-                        break
+                    new_adapt_states.append(a_state)
+                adapt_states = {
+                    **adapt_states,
+                    trans_key: tuple(new_adapt_states),
+                }
+                params = {**params, trans_key: t_params}
+            if stats is not None:
+                all_stats[trans_key] = stats
+
+        if trace_funcs is not None:
+            def chain_traces(state):
                 traces = {}
                 for trace_func in trace_funcs:
                     if isinstance(trace_func, SystemTraceFunc):
                         traces.update(trace_func(state, system))
                     else:
                         traces.update(trace_func(state))
-            else:
-                traces = {}
-            if summarize:
-                summary = _update_trace_summary(
-                    summary, traces, summary_quantiles,
-                )
-            out_traces = {} if summarize == "only" else traces
-            return (state, key, params, adapt_states, summary), (
-                out_traces, all_stats)
+                return traces
 
-        (state, key, params, adapt_states, chain_summary), (
-            traces, stats) = jax.lax.scan(
-            body,
-            (state, key, chain_params, chain_adapt_states, chain_summary),
-            None, length=n_iter,
+            traces = jax.vmap(chain_traces)(states)
+        else:
+            traces = {}
+        if summarize:
+            summary = jax.vmap(
+                lambda s, t: _update_trace_summary(
+                    s, t, summary_quantiles,
+                ),
+            )(summary, traces)
+        out_traces = {} if summarize == "only" else traces
+        return (states, keys, params, adapt_states, summary), (
+            out_traces, all_stats)
+
+    (states, keys, params, adapt_states, summary), (
+        traces, stats) = jax.lax.scan(
+        body, (states, keys, params, adapt_states, summary),
+        None, length=n_iter,
+    )
+    if trace_thin > 1:
+        # Record the last iteration of each thin-block: slicing on
+        # device cuts device->host trace transfer volume by the thin
+        # factor (ROADMAP trace-compression; statistics stay full).
+        traces = jax.tree_util.tree_map(
+            lambda a: a[trace_thin - 1::trace_thin], traces,
         )
-        if trace_thin > 1:
-            # Record the last iteration of each thin-block: slicing on
-            # device cuts device->host trace transfer volume by the thin
-            # factor (ROADMAP trace-compression; statistics stay full).
-            traces = jax.tree_util.tree_map(
-                lambda a: a[trace_thin - 1::trace_thin], traces,
-            )
-        return state, key, params, adapt_states, traces, stats, chain_summary
-
-    return jax.vmap(chain_fn)(states, keys, params, adapt_states, summary)
+    # Scan stacks outputs iteration-major; host buffers are chain-major.
+    traces = jax.tree_util.tree_map(
+        lambda a: jnp.moveaxis(a, 0, 1), traces,
+    )
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.moveaxis(a, 0, 1), stats,
+    )
+    return states, keys, params, adapt_states, traces, stats, summary
 
 
 @functools.partial(jax.jit, static_argnames=("trans_keys", "adapters"))
@@ -1112,13 +1127,14 @@ class DynamicMultinomialHMC(HamiltonianMonteCarlo):
                  max_delta_h=1000.0,
                  termination_criterion=riemannian_no_u_turn_criterion,
                  do_extra_subtree_checks=True, momentum_transition=None,
-                 loop_mode="fused"):
+                 loop_mode="fused", rebatch_depth=None, rebatch_slots=None):
         integration_transition = MultinomialDynamicIntegrationTransition(
             system, integrator, max_tree_depth=max_tree_depth,
             max_delta_h=max_delta_h,
             termination_criterion=termination_criterion,
             do_extra_subtree_checks=do_extra_subtree_checks,
-            loop_mode=loop_mode,
+            loop_mode=loop_mode, rebatch_depth=rebatch_depth,
+            rebatch_slots=rebatch_slots,
         )
         super().__init__(system, rng, integration_transition,
                          momentum_transition)
@@ -1142,13 +1158,14 @@ class DynamicSliceHMC(HamiltonianMonteCarlo):
                  max_delta_h=1000.0,
                  termination_criterion=euclidean_no_u_turn_criterion,
                  do_extra_subtree_checks=False, momentum_transition=None,
-                 loop_mode="fused"):
+                 loop_mode="fused", rebatch_depth=None, rebatch_slots=None):
         integration_transition = SliceDynamicIntegrationTransition(
             system, integrator, max_tree_depth=max_tree_depth,
             max_delta_h=max_delta_h,
             termination_criterion=termination_criterion,
             do_extra_subtree_checks=do_extra_subtree_checks,
-            loop_mode=loop_mode,
+            loop_mode=loop_mode, rebatch_depth=rebatch_depth,
+            rebatch_slots=rebatch_slots,
         )
         super().__init__(system, rng, integration_transition,
                          momentum_transition)

@@ -47,6 +47,21 @@ def _where_tree(pred, a, b):
     )
 
 
+def _select_batched(pred, a, b):
+    """Select between two chain-batched pytrees with a per-chain predicate.
+
+    ``pred`` has shape ``(n_chain,)``; leaves have shape
+    ``(n_chain, ...)`` — the predicate is broadcast over each leaf's
+    trailing dimensions.
+    """
+
+    def sel(x, y):
+        p = pred.reshape(pred.shape + (1,) * (x.ndim - pred.ndim))
+        return jnp.where(p, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
 def _trailing_zeros(i):
     """Number of trailing zero bits of positive int32 ``i``."""
     lowest = i & -i
@@ -149,6 +164,49 @@ class Transition(abc.ABC):
         Returns:
             Tuple of (new state, statistics dict or None).
         """
+
+    def _with_params(self, params):
+        """Return self with per-chain parameter overrides applied.
+
+        ``params`` is the adapter-controlled override dict for this
+        transition (currently only ``step_size``); values may be traced
+        per-chain scalars when applied inside a chain ``vmap``.
+        """
+        if params and "step_size" in params and hasattr(self, "integrator"):
+            return self.replace(
+                integrator=self.integrator.replace(
+                    step_size=params["step_size"],
+                ),
+            )
+        return self
+
+    def sample_batch(self, states, rngs, params=None):
+        """Sample the transition for a whole chain batch (leading axis).
+
+        The default implementation is a ``vmap`` of :meth:`sample` with
+        the per-chain parameter overrides applied inside the vmap —
+        exactly the execution the chain driver's vmapped scan performs.
+        Subclasses may override this with batch-level execution
+        strategies that cannot be expressed per chain (e.g. the dynamic
+        transitions' depth-tail re-batching, which gathers unfinished
+        chains into a smaller fixed-slot batch mid-trajectory).
+
+        Args:
+            states: Chain states batched on the leading axis.
+            rngs: Per-chain PRNG keys, shape ``(n_chain, ...)``.
+            params: Optional dict of per-chain parameter override arrays
+                (chain axis leading), e.g. ``{"step_size": array}``.
+
+        Returns:
+            Tuple of (batched new states, batched statistics dict or
+            None).
+        """
+        params = {} if params is None else params
+
+        def one(state, rng, p):
+            return self._with_params(p).sample(state, rng)
+
+        return jax.vmap(one)(states, rngs, params)
 
 
 class MomentumTransition(Transition):
@@ -412,12 +470,24 @@ class DynamicIntegrationTransition(IntegrationTransition):
     def __init__(self, system, integrator, *, max_tree_depth=10,
                  max_delta_h=1000.0,
                  termination_criterion=riemannian_no_u_turn_criterion,
-                 do_extra_subtree_checks=True, loop_mode="fused"):
+                 do_extra_subtree_checks=True, loop_mode="fused",
+                 rebatch_depth=None, rebatch_slots=None):
         if max_tree_depth <= 0:
             msg = "max_tree_depth must be non-negative."
             raise ValueError(msg)
         if loop_mode not in ("doubling", "fused"):
             msg = "loop_mode must be 'doubling' or 'fused'."
+            raise ValueError(msg)
+        if rebatch_depth is not None:
+            if loop_mode != "fused":
+                msg = ("depth-tail re-batching (rebatch_depth) requires "
+                       "loop_mode='fused'.")
+                raise ValueError(msg)
+            if not 0 <= rebatch_depth:
+                msg = "rebatch_depth must be non-negative."
+                raise ValueError(msg)
+        if rebatch_slots is not None and rebatch_slots <= 0:
+            msg = "rebatch_slots must be positive."
             raise ValueError(msg)
         super().__init__(system, integrator)
         self.max_tree_depth = max_tree_depth
@@ -425,6 +495,8 @@ class DynamicIntegrationTransition(IntegrationTransition):
         self.termination_criterion = termination_criterion
         self.do_extra_subtree_checks = do_extra_subtree_checks
         self.loop_mode = loop_mode
+        self.rebatch_depth = rebatch_depth
+        self.rebatch_slots = rebatch_slots
 
     @property
     def statistic_types(self):
@@ -746,86 +818,112 @@ class DynamicIntegrationTransition(IntegrationTransition):
 
     # -- fused single-loop NUTS ----------------------------------------------
 
-    def _sample_fused(self, state, rng):
-        """Sample a NUTS transition with a single fused ``while_loop``.
+    def _fused_machinery(self, example_state, *, with_step_size=False):
+        """Factor the fused NUTS loop into ``(init, cond, body, finalize)``.
 
-        Fuses the doubling loop and the per-leaf subtree loop into one
-        ``lax.while_loop`` over leaves: the merge phase (progressive
-        proposal swap, edge merging, merged-tree termination checks of
-        mici/transitions.py:708-770) executes masked in the same body on
-        the iteration where ``i + 1 == 2**depth``.  One less ``while``
-        nesting level makes XLA/Mosaic compiles of implicit-integrator
-        NUTS programs substantially faster; the per-leaf checkpoint-buffer
-        bookkeeping of :meth:`_build_subtree` carries over unchanged (the
-        buffers never need resetting between subtrees because every read
-        slot is written earlier in the same subtree).
+        The fused single-while-loop formulation (see :meth:`_sample_fused`)
+        expressed as pure functions of an explicit per-chain carry, so
+        batch-level execution strategies (:meth:`sample_batch` depth-tail
+        re-batching) can drive the same loop over gathered chain subsets:
+        every per-chain quantity — including the transition auxiliary
+        variables (``h_init``, slice variable) and, when ``with_step_size``,
+        a per-chain step-size override — lives in the carry; the returned
+        closures capture only static structure (state packer, system,
+        configuration) shared by all chains.
 
-        PRNG streams are consumed in exactly the same order as the
-        two-loop formulation (:meth:`_sample_two_loop`), so the two are
-        trajectory-for-trajectory bit-identical (tested in
-        ``tests/test_nuts_equivalence.py``).
+        Args:
+            example_state: A (prepared) chain state providing the pytree
+                structure/shapes; all its data leaves are replaced on
+                unpacking, so a traced representative (e.g. chain 0 of a
+                batch) is safe.
+            with_step_size: Thread a per-chain integrator step size
+                through the carry (``init(state, rng, step_size)``).
+
+        Returns:
+            ``(init, cond, body, finalize)`` where ``init(state, rng[,
+            step_size]) -> carry``, ``cond``/``body`` are ``while_loop``
+            pieces over the carry and ``finalize(carry) -> (state, stats)``.
         """
-        state = state.clear_error()
         system = self.system
         max_depth = self.max_tree_depth
-        dtype = state.pos.dtype
-        h_init = system.h(state)
-        h_init = jnp.where(jnp.isnan(h_init), jnp.inf, h_init)
-        key_aux, key_loop = jax.random.split(rng)
-        aux_vars = self._init_aux_vars(state, h_init, key_aux)
-        init_weight = self._weight_at_leaf(h_init, aux_vars)
+        template = example_state.clear_error()
+        dtype = template.pos.dtype
+        state_dim = template.mom.shape[-1]
+        pack, unpack = self._state_packer(template)
 
-        point0 = self._point(state)
-        zero_mom = jnp.zeros_like(state.mom)
-        state_dim = state.mom.shape[-1]
-        pack, unpack = self._state_packer(state)
-        flat0 = pack(state)
+        def init(state, rng, step_size=None):
+            state = state.clear_error()
+            h_init = system.h(state)
+            h_init = jnp.where(jnp.isnan(h_init), jnp.inf, h_init)
+            key_aux, key_loop = jax.random.split(rng)
+            aux_vars = self._init_aux_vars(state, h_init, key_aux)
+            init_weight = self._weight_at_leaf(h_init, aux_vars)
 
-        carry = {
-            # loop position
-            "depth": jnp.int32(0),
-            "i": jnp.int32(0),
-            "terminated": jnp.bool_(False),
-            "rng": key_loop,
-            # tree level (tree states are flat-packed vectors; see
-            # _state_packer)
-            "neg_state": flat0,
-            "pos_state": flat0,
-            # cached points (pos/mom/velocity) of the tree edges: the merge
-            # phase runs masked on every leaf, so its termination checks
-            # must not recompute dh_dmom (a full metric rebuild for
-            # Riemannian systems) — they read these carried points instead.
-            "neg_point": point0,
-            "pos_point": point0,
-            "sum_mom": jnp.asarray(state.mom),
-            "weight": init_weight,
-            "next_state": flat0,
-            "next_state_dir": state.dir,
-            "n_step": jnp.int32(0),
-            "sum_accept_prob": jnp.zeros((), dtype),
-            "reject_prob": jnp.ones((), dtype),
-            "diverging": jnp.bool_(False),
-            "non_reversible_step": jnp.bool_(False),
-            "convergence_error": jnp.bool_(False),
-            "tree_depth": jnp.int32(0),
-            # subtree level
-            "direction": jnp.int32(1),
-            "key_acc": key_loop,  # placeholder, set at each subtree start
-            "sub_rng": key_loop,
-            "state": flat0,
-            "first_leaf": flat0,
-            "first_leaf_point": point0,
-            "sub_proposal": flat0,
-            "sub_weight": self._zero_weight(dtype),
-            "sub_cum_mom": zero_mom,
-            "start_buf": jnp.zeros((max_depth + 1, 4 * state_dim), dtype),
-            "end_buf": jnp.zeros((max_depth + 1, 3 * state_dim), dtype),
-        }
+            point0 = self._point(state)
+            zero_mom = jnp.zeros_like(state.mom)
+            flat0 = pack(state)
+
+            carry = {
+                # loop position
+                "depth": jnp.int32(0),
+                "i": jnp.int32(0),
+                "terminated": jnp.bool_(False),
+                "rng": key_loop,
+                # per-chain auxiliary variables (h_init, slice variable)
+                "aux": aux_vars,
+                # tree level (tree states are flat-packed vectors; see
+                # _state_packer)
+                "neg_state": flat0,
+                "pos_state": flat0,
+                # cached points (pos/mom/velocity) of the tree edges: the
+                # merge phase runs masked on every leaf, so its termination
+                # checks must not recompute dh_dmom (a full metric rebuild
+                # for Riemannian systems) — they read these carried points
+                # instead.
+                "neg_point": point0,
+                "pos_point": point0,
+                "sum_mom": jnp.asarray(state.mom),
+                "weight": init_weight,
+                "next_state": flat0,
+                "next_state_dir": state.dir,
+                "n_step": jnp.int32(0),
+                "sum_accept_prob": jnp.zeros((), dtype),
+                "reject_prob": jnp.ones((), dtype),
+                "diverging": jnp.bool_(False),
+                "non_reversible_step": jnp.bool_(False),
+                "convergence_error": jnp.bool_(False),
+                "tree_depth": jnp.int32(0),
+                # subtree level
+                "direction": jnp.int32(1),
+                "key_acc": key_loop,  # placeholder, set at subtree start
+                "sub_rng": key_loop,
+                "state": flat0,
+                "first_leaf": flat0,
+                "first_leaf_point": point0,
+                "sub_proposal": flat0,
+                "sub_weight": self._zero_weight(dtype),
+                "sub_cum_mom": zero_mom,
+                "start_buf": jnp.zeros(
+                    (max_depth + 1, 4 * state_dim), dtype,
+                ),
+                "end_buf": jnp.zeros(
+                    (max_depth + 1, 3 * state_dim), dtype,
+                ),
+            }
+            if with_step_size:
+                carry["step_size"] = step_size
+            return carry
 
         def cond(c):
             return (c["depth"] < max_depth) & ~c["terminated"]
 
         def body(c):
+            aux_vars = c["aux"]
+            h_init = aux_vars["h_init"]
+            integrator = self.integrator
+            if with_step_size:
+                integrator = integrator.replace(step_size=c["step_size"])
+            zero_mom = jnp.zeros_like(c["sum_mom"])
             i = c["i"]
             depth = c["depth"]
             at_start = i == 0
@@ -860,7 +958,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
 
             # --- phase 2: one leaf step (as in _build_subtree) ----------
             sub_rng, key_prop = jax.random.split(sub_rng)
-            stepped = self.integrator.step(state_in)
+            stepped = integrator.step(state_in)
             error_bits = stepped.error
             int_error = error_bits != 0
             leaf = stepped.clear_error()
@@ -979,11 +1077,12 @@ class DynamicIntegrationTransition(IntegrationTransition):
             )
             merged_terminate = built_ok & whole
 
-            return {
+            new_c = {
                 "depth": jnp.where(complete, depth + 1, depth),
                 "i": jnp.where(complete, jnp.int32(0), i + 1),
                 "terminated": sub_terminated | merged_terminate,
                 "rng": rng,
+                "aux": aux_vars,
                 "neg_state": jnp.where(built_ok, new_neg, c["neg_state"]),
                 "pos_state": jnp.where(built_ok, new_pos, c["pos_state"]),
                 "neg_point": jnp.where(built_ok, neg_pt, c["neg_point"]),
@@ -1011,30 +1110,152 @@ class DynamicIntegrationTransition(IntegrationTransition):
                 "start_buf": start_buf,
                 "end_buf": end_buf,
             }
+            if with_step_size:
+                new_c["step_size"] = c["step_size"]
+            return new_c
 
-        out = lax.while_loop(cond, body, carry)
+        def finalize(out):
+            n_step = out["n_step"]
+            av_accept = jnp.where(
+                n_step > 0,
+                out["sum_accept_prob"] / jnp.maximum(n_step, 1), 0.0,
+            )
+            any_error = (out["diverging"] | out["non_reversible_step"]
+                         | out["convergence_error"])
+            accept_stat = jnp.where(any_error, 0.0, av_accept)
+            step_size = (out["step_size"] if with_step_size
+                         else self.integrator.step_size)
+            stats = {
+                "n_step": n_step,
+                "accept_stat": accept_stat,
+                "av_metrop_accept_prob": av_accept,
+                "reject_prob": out["reject_prob"],
+                "tree_depth": out["tree_depth"],
+                "diverging": out["diverging"],
+                "non_reversible_step": out["non_reversible_step"],
+                "convergence_error": out["convergence_error"],
+                "step_size": jnp.abs(jnp.asarray(step_size, dtype=dtype)),
+            }
+            return unpack(out["next_state"], out["next_state_dir"]), stats
 
-        n_step = out["n_step"]
-        av_accept = jnp.where(
-            n_step > 0, out["sum_accept_prob"] / jnp.maximum(n_step, 1), 0.0,
+        return init, cond, body, finalize
+
+    def _sample_fused(self, state, rng):
+        """Sample a NUTS transition with a single fused ``while_loop``.
+
+        Fuses the doubling loop and the per-leaf subtree loop into one
+        ``lax.while_loop`` over leaves: the merge phase (progressive
+        proposal swap, edge merging, merged-tree termination checks of
+        mici/transitions.py:708-770) executes masked in the same body on
+        the iteration where ``i + 1 == 2**depth``.  One less ``while``
+        nesting level makes XLA/Mosaic compiles of implicit-integrator
+        NUTS programs substantially faster; the per-leaf checkpoint-buffer
+        bookkeeping of :meth:`_build_subtree` carries over unchanged (the
+        buffers never need resetting between subtrees because every read
+        slot is written earlier in the same subtree).
+
+        PRNG streams are consumed in exactly the same order as the
+        two-loop formulation (:meth:`_sample_two_loop`), so the two are
+        trajectory-for-trajectory bit-identical (tested in
+        ``tests/test_nuts_equivalence.py``).
+        """
+        init, cond, body, finalize = self._fused_machinery(state)
+        return finalize(lax.while_loop(cond, body, init(state, rng)))
+
+    # -- batch-level sampling: depth-tail re-batching -------------------------
+
+    def sample_batch(self, states, rngs, params=None):
+        """Sample a chain batch, re-batching the deep-tree tail.
+
+        Vmapped NUTS executes the *batch-max* tree depth in lockstep every
+        iteration — the execution-model gap vs the reference's per-chain
+        doubling loop (mici/transitions.py:708-770), which pays only each
+        chain's actual depth.  With ``rebatch_depth`` set (and the default
+        ``loop_mode="fused"``), this override removes most of that tail
+        cost without changing a single sampled trajectory:
+
+        1. *Bulk phase*: all chains run the fused leaf loop in lockstep
+           until each has either finished its transition or reached tree
+           depth ``rebatch_depth``.
+        2. *Tail phase*: the (typically few) chains still mid-trajectory
+           are argsort-gathered into a fixed-size slot batch of
+           ``rebatch_slots`` lanes and continued to ``max_tree_depth``,
+           scattering their carries back on completion; a bounded
+           ``while_loop`` over rounds handles tails larger than the slot
+           count.
+
+        Because both phases apply exactly the per-chain loop body of
+        :meth:`_sample_fused` (masked where inactive), the per-chain
+        decisions, trajectories and statistics are bit-identical to plain
+        ``vmap(sample)`` — tested in ``tests/test_nuts_equivalence.py``.
+        With ``rebatch_depth=None`` (default) this falls back to the
+        plain vmap of :meth:`Transition.sample_batch`.
+        """
+        if self.rebatch_depth is None or self.loop_mode != "fused":
+            return super().sample_batch(states, rngs, params)
+        params = {} if params is None else params
+        step_size = params.get("step_size")
+        with_step = step_size is not None
+        example = jax.tree_util.tree_map(lambda x: x[0], states)
+        init, cond, body, finalize = self._fused_machinery(
+            example, with_step_size=with_step,
         )
-        any_error = (out["diverging"] | out["non_reversible_step"]
-                     | out["convergence_error"])
-        accept_stat = jnp.where(any_error, 0.0, av_accept)
-        stats = {
-            "n_step": n_step,
-            "accept_stat": accept_stat,
-            "av_metrop_accept_prob": av_accept,
-            "reject_prob": out["reject_prob"],
-            "tree_depth": out["tree_depth"],
-            "diverging": out["diverging"],
-            "non_reversible_step": out["non_reversible_step"],
-            "convergence_error": out["convergence_error"],
-            "step_size": jnp.abs(jnp.asarray(
-                self.integrator.step_size, dtype=dtype,
-            )),
-        }
-        return unpack(out["next_state"], out["next_state_dir"]), stats
+        n_chain = rngs.shape[0]
+        bulk_depth = min(self.rebatch_depth, self.max_tree_depth)
+        slots = self.rebatch_slots
+        if slots is None:
+            slots = max(8, n_chain // 8)
+        slots = min(slots, n_chain)
+
+        if with_step:
+            carry = jax.vmap(init)(states, rngs, step_size)
+        else:
+            carry = jax.vmap(init)(states, rngs)
+
+        vcond = jax.vmap(cond)
+        vbody = jax.vmap(body)
+
+        def masked_step(c, active):
+            return _select_batched(active, vbody(c), c)
+
+        # Phase 1: all chains in lockstep to the bulk depth limit.
+        def bulk_active(c):
+            return vcond(c) & (c["depth"] < bulk_depth)
+
+        carry = lax.while_loop(
+            lambda c: jnp.any(bulk_active(c)),
+            lambda c: masked_step(c, bulk_active(c)),
+            carry,
+        )
+
+        # Phase 2: fixed-slot rounds over the unfinished tail.  Each round
+        # gathers up to ``slots`` active chains (argsort is stable, actives
+        # first), runs them to completion masked in lockstep, and scatters
+        # the carries back; padding lanes holding finished chains pass
+        # through unchanged.
+        def continue_slot(c):
+            return lax.while_loop(
+                lambda s: jnp.any(vcond(s)),
+                lambda s: masked_step(s, vcond(s)),
+                c,
+            )
+
+        def rounds_body(state):
+            c, active = state
+            idx = jnp.argsort(~active)[:slots]
+            slot = jax.tree_util.tree_map(lambda x: x[idx], c)
+            slot = continue_slot(slot)
+            c = jax.tree_util.tree_map(
+                lambda x, y: x.at[idx].set(y), c, slot,
+            )
+            return c, active.at[idx].set(False)
+
+        carry, _ = lax.while_loop(
+            lambda state: jnp.any(state[1]),
+            rounds_body,
+            (carry, vcond(carry)),
+        )
+        return jax.vmap(finalize)(carry)
 
     # -- two-loop reference formulation (kept for A/B testing) ---------------
 
@@ -1198,7 +1419,8 @@ class DynamicIntegrationTransition(IntegrationTransition):
 @register_pytree(
     data_fields=("system", "integrator"),
     static_fields=("max_tree_depth", "max_delta_h", "termination_criterion",
-                   "do_extra_subtree_checks", "loop_mode"),
+                   "do_extra_subtree_checks", "loop_mode", "rebatch_depth",
+                   "rebatch_slots"),
 )
 class MultinomialDynamicIntegrationTransition(DynamicIntegrationTransition):
     """Dynamic integration transition with multinomial proposal sampling.
@@ -1226,7 +1448,8 @@ class MultinomialDynamicIntegrationTransition(DynamicIntegrationTransition):
 @register_pytree(
     data_fields=("system", "integrator"),
     static_fields=("max_tree_depth", "max_delta_h", "termination_criterion",
-                   "do_extra_subtree_checks", "loop_mode"),
+                   "do_extra_subtree_checks", "loop_mode", "rebatch_depth",
+                   "rebatch_slots"),
 )
 class SliceDynamicIntegrationTransition(DynamicIntegrationTransition):
     """Dynamic integration transition with slice-sampled proposals.

@@ -80,3 +80,27 @@ def test_unknown_replace_field_rejected():
     state = ChainState(pos=np.zeros(2), mom=np.ones(2), dir=1)
     with pytest.raises(ValueError):
         state.replace(nonexistent=1)
+
+
+def test_eager_debug_mode_end_to_end():
+    """The full sampling driver runs under ``jax.disable_jit()``.
+
+    The eager/debug analogue of the reference's ``jax_nojit`` backend
+    (mici/autodiff/__init__.py:80-93): with jit disabled every model
+    function, integrator step and transition executes op by op in
+    Python, so users can breakpoint/print inside their ``neg_log_dens``.
+    """
+    import jax
+
+    system = _system()
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = samplers.DynamicMultinomialHMC(
+        system, integ, 42, max_tree_depth=3)
+    rng = np.random.default_rng(0)
+    with jax.disable_jit():
+        out = sampler.sample_chains(
+            5, 10, [rng.standard_normal(2) for _ in range(4)],
+            display_progress=False)
+    assert out.traces["pos"].shape == (4, 10, 2)
+    assert np.all(np.isfinite(out.traces["pos"]))
+    assert np.isfinite(out.statistics["accept_stat"]).all()

@@ -249,6 +249,106 @@ def test_fused_sample_identical_to_two_loop(
                     err_msg=key_name)
 
 
+# ---------------------------------------------------------------------------
+# Depth-tail re-batching: bit-identical to plain vmapped execution
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("transition_cls", [
+    transitions.MultinomialDynamicIntegrationTransition,
+    transitions.SliceDynamicIntegrationTransition,
+])
+@pytest.mark.parametrize("rebatch_depth,rebatch_slots", [
+    (2, 4),    # multi-round tail (slots < expected actives)
+    (3, 64),   # single-round tail (slots > n_chain, clamped)
+    (0, 8),    # everything in the tail phase
+    (7, 4),    # bulk phase runs to completion; tail empty
+])
+def test_rebatch_sample_batch_identical_to_vmap(
+        transition_cls, rebatch_depth, rebatch_slots):
+    """Depth-tail re-batching (bulk phase to ``rebatch_depth``, then
+    fixed-slot continuation rounds) applies exactly the per-chain fused
+    loop body, so every trajectory, decision and statistic is
+    bit-identical to plain ``vmap(sample)`` over the same keys."""
+    system, integrator = _setup(step_size=0.4)
+    kwargs = dict(max_tree_depth=7)
+    plain = transition_cls(system, integrator, **kwargs)
+    rebatch = transition_cls(
+        system, integrator, rebatch_depth=rebatch_depth,
+        rebatch_slots=rebatch_slots, **kwargs)
+    rng = np.random.default_rng(SEED + 1)
+    n_chain = 37
+    pos = rng.standard_normal((n_chain, DIM))
+    mom = rng.standard_normal((n_chain, DIM))
+    states = jax.vmap(
+        lambda p, m: system.prepare_state(ChainState(pos=p, mom=m, dir=1)),
+    )(jnp.asarray(pos), jnp.asarray(mom))
+    keys = jax.random.split(jax.random.PRNGKey(SEED), n_chain)
+    s0, st0 = jax.jit(plain.sample_batch)(states, keys)
+    s1, st1 = jax.jit(rebatch.sample_batch)(states, keys)
+    for name in ("pos", "mom", "dir", "error"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s0, name)), np.asarray(getattr(s1, name)),
+            err_msg=name)
+    for key_name in st0:
+        np.testing.assert_array_equal(
+            np.asarray(st0[key_name]), np.asarray(st1[key_name]),
+            err_msg=key_name)
+    # The case grid must actually exercise heterogeneous depths.
+    assert len(np.unique(np.asarray(st0["tree_depth"]))) > 1
+
+
+def test_rebatch_sample_batch_identical_with_step_size_override():
+    """Per-chain step-size overrides (the adapter path) thread through
+    the re-batching carry bit-identically."""
+    system, integrator = _setup(step_size=0.4)
+    plain = transitions.MultinomialDynamicIntegrationTransition(
+        system, integrator, max_tree_depth=7)
+    rebatch = transitions.MultinomialDynamicIntegrationTransition(
+        system, integrator, max_tree_depth=7, rebatch_depth=2,
+        rebatch_slots=8)
+    rng = np.random.default_rng(SEED + 2)
+    n_chain = 21
+    pos = rng.standard_normal((n_chain, DIM))
+    mom = rng.standard_normal((n_chain, DIM))
+    states = jax.vmap(
+        lambda p, m: system.prepare_state(ChainState(pos=p, mom=m, dir=1)),
+    )(jnp.asarray(pos), jnp.asarray(mom))
+    keys = jax.random.split(jax.random.PRNGKey(SEED + 3), n_chain)
+    step_sizes = jnp.asarray(rng.uniform(0.2, 0.6, n_chain))
+    s0, st0 = jax.jit(
+        lambda s, k: plain.sample_batch(s, k, {"step_size": step_sizes}),
+    )(states, keys)
+    s1, st1 = jax.jit(
+        lambda s, k: rebatch.sample_batch(s, k, {"step_size": step_sizes}),
+    )(states, keys)
+    np.testing.assert_array_equal(np.asarray(s0.pos), np.asarray(s1.pos))
+    np.testing.assert_array_equal(np.asarray(s0.mom), np.asarray(s1.mom))
+    exact_keys = ("n_step", "tree_depth", "diverging",
+                  "non_reversible_step", "convergence_error", "step_size")
+    for key_name in st0:
+        if key_name in exact_keys:
+            np.testing.assert_array_equal(
+                np.asarray(st0[key_name]), np.asarray(st1[key_name]),
+                err_msg=key_name)
+        else:
+            # The per-chain step-size substitution fuses differently in
+            # the two program structures; accumulated continuous stats
+            # (accept-prob sums) can differ in the last ulp.
+            np.testing.assert_allclose(
+                np.asarray(st0[key_name]), np.asarray(st1[key_name]),
+                rtol=1e-12, err_msg=key_name)
+    np.testing.assert_array_equal(
+        np.asarray(st1["step_size"]), np.abs(np.asarray(step_sizes)))
+
+
+def test_rebatch_requires_fused_loop_mode():
+    system, integrator = _setup(step_size=0.4)
+    with pytest.raises(ValueError, match="fused"):
+        transitions.MultinomialDynamicIntegrationTransition(
+            system, integrator, loop_mode="doubling", rebatch_depth=2)
+
+
 def test_fused_sample_identical_to_two_loop_vmapped():
     """Identity also holds for a vmapped chain batch (select-based
     masking interacts with batching)."""

@@ -609,3 +609,28 @@ def test_trace_summary_quantile_validation():
             0, 4, _init_states(2), trace_summary_quantiles=(0.0, 0.5),
             display_progress=False,
         )
+
+
+def test_sample_chains_rebatch_identical_to_plain():
+    """End-to-end driver equivalence: NUTS depth-tail re-batching through
+    `sample_chains` (adaptive warm-up included) produces bit-identical
+    traces, statistics and final states to the plain vmapped execution."""
+    system, _ = _make_system()
+    outs = []
+    for rebatch_kwargs in ({}, {"rebatch_depth": 2, "rebatch_slots": 4}):
+        integ = integrators.LeapfrogIntegrator(system)
+        sampler = samplers.DynamicMultinomialHMC(
+            system, integ, SEED, max_tree_depth=6, **rebatch_kwargs)
+        outs.append(sampler.sample_chains(
+            20, 30, _init_states(8), display_progress=False))
+    plain, rebatch = outs
+    np.testing.assert_array_equal(
+        plain.traces["pos"], rebatch.traces["pos"])
+    np.testing.assert_array_equal(
+        plain.traces["hamiltonian"], rebatch.traces["hamiltonian"])
+    for key in plain.statistics:
+        np.testing.assert_array_equal(
+            plain.statistics[key], rebatch.statistics[key], err_msg=key)
+    for s_plain, s_rebatch in zip(plain.final_states, rebatch.final_states):
+        np.testing.assert_array_equal(
+            np.asarray(s_plain.pos), np.asarray(s_rebatch.pos))
