@@ -393,6 +393,97 @@ class OnlineCovarianceMetricAdapter(OnlineVarianceMetricAdapter):
         return _set_metric(transition, metric, chain_states, rng)
 
 
+class TreeDepthCapAdapter(Adapter):
+    """Warm-up adapter setting the NUTS ``max_tree_depth`` cap online.
+
+    TPU-native addition (no reference counterpart — the reference's
+    per-chain doubling loop, mici/transitions.py:708-770, pays only each
+    chain's actual tree depth, so it never needs a cap).  Under vmapped
+    lockstep execution ``max_tree_depth`` is a first-order throughput
+    knob: measured sweeps (docs/BENCHMARKS.md) show the optimal cap is
+    the kernel's *natural U-turn depth*, at which per-iteration ESS is
+    unchanged while wall time drops by the depth-tail factor.  This
+    adapter measures that depth during warm-up instead of requiring a
+    hand-tuned sweep: it histograms the realized ``tree_depth``
+    statistic per chain and, at stage finalization, re-caps the
+    transition at the ``quantile`` depth (+1 doubling, + ``margin``).
+
+    Because ``max_tree_depth`` is a static (compiled-in) parameter, each
+    re-cap triggers one recompilation of the following stage's program;
+    with the default single warm-up stage that is one extra compile for
+    the main stage.  With a multi-window stager the cap is recomputed at
+    every window boundary from that window's histogram; since a window
+    sampled under a cap cannot observe deeper trees, pass
+    ``grow_back_max`` (normally the originally configured
+    ``max_tree_depth``) to let a cap whose depth distribution pushes
+    against it grow back one notch per window instead of locking in a
+    noisy early guess.  Combine with the transition's ``rebatch_depth``
+    (depth-tail re-batching) to also remove the residual in-cap tail
+    cost.
+    """
+
+    is_fast = True
+
+    def __init__(self, quantile=0.98, margin=0, grow_back_max=None):
+        if not 0.0 < quantile <= 1.0:
+            msg = "quantile must be in (0, 1]."
+            raise ValueError(msg)
+        if margin < 0:
+            msg = "margin must be non-negative."
+            raise ValueError(msg)
+        self.quantile = quantile
+        self.margin = margin
+        self.grow_back_max = grow_back_max
+
+    def initialize(self, chain_state, transition):
+        max_depth = getattr(transition, "max_tree_depth", None)
+        if max_depth is None:
+            msg = (
+                "TreeDepthCapAdapter requires a dynamic (NUTS) integration "
+                "transition with a max_tree_depth parameter."
+            )
+            raise ValueError(msg)
+        adapt_state = {
+            # histogram of realized tree_depth statistics, 0..max_depth
+            "depth_counts": jnp.zeros(max_depth + 1, jnp.int32),
+        }
+        return adapt_state, {}
+
+    def update(self, adapt_state, chain_state, trans_stats, params):
+        depth = jnp.clip(
+            trans_stats["tree_depth"], 0,
+            adapt_state["depth_counts"].shape[0] - 1,
+        )
+        return {
+            "depth_counts": adapt_state["depth_counts"].at[depth].add(1),
+        }, params
+
+    def finalize(self, adapt_states, chain_states, transition, rng):
+        import numpy as np
+
+        counts = np.asarray(adapt_states["depth_counts"]).sum(axis=0)
+        stage_max = counts.shape[0] - 1  # cap the stage was sampled under
+        total = counts.sum()
+        if total == 0:
+            return transition, chain_states
+        # Smallest depth d with P(tree_depth <= d) >= quantile: trees at
+        # the natural U-turn depth reach tree_depth = d, so capping one
+        # doubling above leaves the bulk of trajectories untruncated.
+        cum = np.cumsum(counts) / total
+        d_q = int(np.argmax(cum >= self.quantile))
+        wanted = d_q + 1 + self.margin
+        if wanted >= stage_max and self.grow_back_max is not None:
+            # Distribution pushes against the cap this stage ran under:
+            # grow back one notch (a capped window cannot observe deeper
+            # trees, so growth must be incremental).
+            new_cap = min(self.grow_back_max, stage_max + 1)
+        else:
+            new_cap = min(stage_max, wanted)
+        if new_cap == transition.max_tree_depth:
+            return transition, chain_states
+        return transition.replace(max_tree_depth=new_cap), chain_states
+
+
 def check_init_step_size(step_size):
     """Raise AdaptationError if the initial step size search failed."""
     import numpy as np

@@ -152,3 +152,83 @@ def test_init_step_size_search_jit_vmap():
     steps = jax.vmap(init)(positions, momenta)
     assert np.all(np.isfinite(np.asarray(steps)))
     assert np.all(np.asarray(steps) > 0)
+
+
+# ---------------------------------------------------------------------------
+# TreeDepthCapAdapter (TPU-native lockstep depth-cap tuning)
+# ---------------------------------------------------------------------------
+
+
+def _depth_cap_fixture(max_tree_depth=8):
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((4, 4))
+    cov = a @ a.T + 4 * np.eye(4)
+    prec = jnp.asarray(np.linalg.inv(cov))
+
+    def nld(q):
+        return 0.5 * q @ (prec @ q)
+
+    system = systems.EuclideanMetricSystem(nld)
+    integ = integrators.LeapfrogIntegrator(system)
+    sampler = samplers.DynamicMultinomialHMC(
+        system, integ, 42, max_tree_depth=max_tree_depth)
+    inits = [rng.standard_normal(4) for _ in range(8)]
+    return sampler, inits
+
+
+def test_tree_depth_cap_finalize_policy():
+    adapter = adapters.TreeDepthCapAdapter(quantile=0.9)
+    sampler, _ = _depth_cap_fixture(max_tree_depth=8)
+    transition = sampler.transitions["integration_transition"]
+    # Synthetic chain-stacked histograms: 95% of mass at depth <= 3.
+    counts = np.zeros((2, 9), np.int32)
+    counts[:, 2] = 40
+    counts[:, 3] = 55
+    counts[:, 7] = 5
+    new_transition, _ = adapter.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, transition, None)
+    # q=0.9 quantile depth is 3 -> cap at 4 doublings
+    assert new_transition.max_tree_depth == 4
+
+    # Distribution pushing against the cap: without grow_back_max the cap
+    # is kept; with it, it grows one notch.
+    counts = np.zeros((2, 5), np.int32)
+    counts[:, 4] = 100
+    capped = new_transition
+    kept, _ = adapter.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, capped, None)
+    assert kept.max_tree_depth == 4
+    grower = adapters.TreeDepthCapAdapter(quantile=0.9, grow_back_max=8)
+    grown, _ = grower.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, capped, None)
+    assert grown.max_tree_depth == 5
+
+
+def test_tree_depth_cap_requires_dynamic_transition():
+    system = systems.EuclideanMetricSystem(lambda q: 0.5 * jnp.sum(q**2))
+    integ = integrators.LeapfrogIntegrator(system, 0.5)
+    from mici_tpu.transitions import MetropolisStaticIntegrationTransition
+
+    transition = MetropolisStaticIntegrationTransition(system, integ, 4)
+    adapter = adapters.TreeDepthCapAdapter()
+    with pytest.raises(ValueError, match="dynamic"):
+        adapter.initialize(None, transition)
+
+
+def test_tree_depth_cap_end_to_end():
+    """Warm-up with the depth-cap adapter reduces the main-stage cap to
+    the kernel's natural U-turn depth and sampling stays healthy."""
+    sampler, inits = _depth_cap_fixture(max_tree_depth=8)
+    out = sampler.sample_chains(
+        50, 50, inits,
+        adapters=[adapters.DualAveragingStepSizeAdapter(),
+                  adapters.TreeDepthCapAdapter()],
+        display_progress=False)
+    transition = sampler.transitions["integration_transition"]
+    # a 4-D Gaussian with a well-tuned step size needs nowhere near 2^8
+    # leapfrog steps per trajectory
+    assert transition.max_tree_depth < 8
+    depths = out.statistics["tree_depth"]
+    assert depths.max() <= transition.max_tree_depth
+    assert np.nanmean(out.statistics["accept_stat"]) > 0.5
+    assert np.all(np.isfinite(out.traces["pos"]))
