@@ -28,6 +28,93 @@ import os
 import numpy as np
 
 
+#: The exact external API surface the bridges in this module (and the
+#: torch autodiff backend) consume, pinned to the upstream versions whose
+#: documented behavior the test fakes mirror (tests/test_interop.py,
+#: tests/test_autodiff.py).  This is the conformance contract for
+#: environments without the optional packages: the fakes implement
+#: exactly these attributes with these semantics, and
+#: ``ci/run_gated_tests.sh`` runs the gated test paths against the real
+#: libraries the moment they are installed (reference CI runs them for
+#: real: /root/reference/pyproject.toml test extras).
+#:
+#: ``api`` entries are dotted attribute paths resolved on the imported
+#: package; ``model_api`` entries are methods required of user-supplied
+#: model objects (duck-typed, so they are checked against the fakes).
+EXTERNAL_API_CONTRACT = {
+    "arviz": {
+        "pinned_versions": ["0.16.1", "1.0.0"],
+        "api": ["__version__", "from_dict"],
+        "notes": (
+            "from_dict(posterior=, sample_stats=) for arviz<1.0 "
+            "(InferenceData); from_dict({group: dict}) for arviz>=1.0 "
+            "(xarray.DataTree)."
+        ),
+    },
+    "pymc": {
+        "pinned_versions": ["5.16.2"],
+        "api": [
+            "modelcontext",
+            "blocking.DictToArrayBijection.map",
+            "sampling.jax.get_jaxified_logp",
+            "sampling.jax.get_jaxified_graph",
+        ],
+        "model_api": [
+            "initial_point",      # () -> dict[str, np.ndarray]
+            "value_vars",         # unconstrained value variables
+            "unobserved_value_vars",  # constrained params + deterministics
+            "logp_dlogp_function",    # (mode=) -> callable q -> (lp, dlp)
+            "__enter__",          # model context manager
+            "__exit__",
+        ],
+        "notes": (
+            "DictToArrayBijection.map returns RaveledVars with .data and "
+            ".point_map_info ((name, shape, size, dtype) on pymc>=5; the "
+            "3-tuple layout is also handled)."
+        ),
+    },
+    "bridgestan": {
+        "pinned_versions": ["2.5.0"],
+        "api": ["StanModel.from_stan_file"],
+        "model_api": [
+            "param_unc_num",        # () -> int
+            "log_density_gradient",  # (q) -> (lp, grad)
+            # optional, used when present:
+            "param_num",            # () -> int
+            "param_constrain",      # (q_unc) -> constrained params
+        ],
+        "notes": (
+            "param_num/param_constrain are optional: absent, the trace "
+            "function records unconstrained positions and lp only."
+        ),
+    },
+    "torch": {
+        "pinned_versions": ["2.13.0"],
+        "api": [
+            "func.grad_and_value", "func.vjp", "func.jacfwd",
+            "func.hessian", "as_tensor", "ones", "zeros", "float64",
+        ],
+        "notes": (
+            "Installed in this environment since round 3: the torch "
+            "autodiff backend conformance tests run against real torch."
+        ),
+    },
+}
+
+
+def external_api_contract_checksum():
+    """SHA-256 of the canonical-JSON contract (drift detection).
+
+    Recorded in docs/PARITY.md; tests assert the recorded value so any
+    contract change is a conscious, reviewed edit.
+    """
+    import hashlib
+    import json
+
+    canonical = json.dumps(EXTERNAL_API_CONTRACT, sort_keys=True)
+    return hashlib.sha256(canonical.encode()).hexdigest()
+
+
 def _require(module_name):
     try:
         return __import__(module_name)
