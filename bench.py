@@ -3,12 +3,29 @@
 BASELINE.json north star: >=100x single-core reference-Mici ESS/sec on a
 1024-chain Riemannian HMC benchmark (SoftAbs metric, banana-shaped
 posterior, implicit generalized leapfrog — config 3).  The reference
-publishes no numbers (BASELINE.md), so the denominator is *measured* here:
-reference Mici (NumPy backend, analytic derivative functions, single core,
-CPU) on the identical system/integrator/transition configuration.
+publishes no numbers (BASELINE.md), so every denominator is *measured*
+here: reference Mici (NumPy backend, analytic derivative functions,
+single core, CPU) runs the identical configuration and its ESS/sec is
+computed **directly from its own traces** (benchmarks/reference.py:
+measure_reference_ess — no derived/modeled quantities).
+
+Beyond the headline, the artifact is self-contained (VERDICT round-2
+item 2): the JSON line carries
+
+- ``configs``: all five BASELINE configs through the generic
+  ``sample_chains`` driver, each with TPU ESS/sec, directly measured
+  reference ESS/sec, and the ratio — all under default settings
+  (``loop_mode="fused"``; the headline no longer pins the tuned
+  "doubling" variant).
+- ``moment_validation``: on-chip f32 statistical validation (VERDICT
+  round-2 item 4) — posterior moments of the banana (config 3, from the
+  same headline run the perf number comes from) and the torus (config 4
+  driver run) checked against dense quadrature oracles
+  (benchmarks/oracles.py).
 
 Prints exactly one JSON line:
-    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...,
+     "configs": [...], "moment_validation": {...}}
 """
 
 import json
@@ -141,11 +158,12 @@ def run_tpu_benchmark():
         fixed_point_solver_kwargs={
             "convergence_tol": FP_TOL, "max_iters": FP_MAX_ITERS,
         })
+    # Default settings throughout (loop_mode="fused" is the shipped
+    # default): the headline measures what users get.
     transition = transitions.MultinomialDynamicIntegrationTransition(
-        system, integrator, max_tree_depth=MAX_TREE_DEPTH,
-        # ~4% faster steady-state than the default "fused" mode on this
-        # dim-2 target; compile time is excluded from the timed region.
-        loop_mode="doubling")
+        system, integrator, max_tree_depth=MAX_TREE_DEPTH)
+
+    from mici_tpu.precision import matmul_precision_scope
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def run(states, keys, n_iter):
@@ -161,11 +179,18 @@ def run_tpu_benchmark():
             state, (pos, n_step) = jax.lax.scan(body, state, ks)
             return state, pos, n_step
 
-        return jax.vmap(chain)(states, keys)
+        # Engine matmul-precision policy (TPU bf16-matmul default breaks
+        # the implicit solves — see mici_tpu/precision.py).
+        with matmul_precision_scope():
+            return jax.vmap(chain)(states, keys)
 
-    rng = np.random.default_rng(0)
+    from benchmarks.configs import banana_exact_sample
+
     dtype = jnp.zeros(()).dtype
-    pos0 = jnp.asarray(rng.standard_normal((N_CHAIN, 2)) * 0.5, dtype)
+    # Exact stationary init: ESS measures stationary mixing (the reference
+    # denominator run starts from the same exact draws) and the banana
+    # moment validation becomes a pure kernel-preservation check.
+    pos0 = jnp.asarray(banana_exact_sample(N_CHAIN, seed=1), dtype)
     states = jax.vmap(
         lambda q: system.prepare_state(
             ChainState(pos=q, mom=jnp.zeros_like(q), dir=1)),
@@ -210,28 +235,118 @@ def run_tpu_benchmark():
         "ess_per_chain_iter": mean_ess / (N_CHAIN * N_MAIN),
         "chain_iters_per_sec": N_CHAIN * N_MAIN / elapsed,
         "leapfrog_steps_per_sec": float(n_steps.sum()) / elapsed,
-    }
+    }, pos_trace
+
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def run_config_rows(torus_traces_out):
+    """All five BASELINE configs through the generic driver + measured
+    reference denominators (VERDICT round-2 item 2).
+
+    Each row: TPU ESS/sec under default settings, single-core reference
+    ESS/sec computed directly from reference traces, and the ratio.  A
+    failing config yields an ``error`` row rather than killing the
+    artifact.  Config 4's TPU traces are appended to ``torus_traces_out``
+    for the torus moment validation.
+    """
+    from benchmarks.run import BENCH_ROW_SETTINGS, compare_config
+
+    rows = []
+    for number in (1, 2, 3, 4, 5):
+        t0 = time.perf_counter()
+        try:
+            row, traces = compare_config(
+                number, ref_n_repeat=2, return_traces=True,
+                **BENCH_ROW_SETTINGS[number],
+            )
+            if number == 4:
+                torus_traces_out.append(traces)
+        except Exception as exc:  # pragma: no cover - robustness guard
+            row = {"config": number, "error": f"{type(exc).__name__}: {exc}"}
+        row["bench_wall_s"] = round(time.perf_counter() - t0, 1)
+        _log(f"config {number}: {json.dumps(row)}")
+        rows.append(row)
+    return rows
+
+
+def run_moment_validation(banana_traces, torus_traces):
+    """On-chip f32 posterior-moment checks vs dense quadrature oracles
+    (VERDICT round-2 item 4) on the same runs the perf numbers come from.
+
+    Tolerances are ~4 Monte-Carlo standard errors at the realized ESS of
+    the headline runs (banana: ~6k total ESS; torus: >5k), so a genuine
+    f32 bias beyond sampling noise fails the check.
+    """
+    from benchmarks.oracles import banana_moments, check_moments, torus_moments
+
+    validation = {}
+    b_mean, b_var = banana_moments()
+    validation["banana_config3"] = check_moments(
+        banana_traces, b_mean, b_var, mean_atol=0.2, var_rtol=0.15,
+    )
+    if torus_traces is not None:
+        t_mean, t_var = torus_moments()
+        validation["torus_config4"] = check_moments(
+            torus_traces, t_mean, t_var, mean_atol=0.08, var_rtol=0.2,
+        )
+    return validation
 
 
 def main():
-    tpu = run_tpu_benchmark()
-    ref_iter_per_sec, measured = measure_reference_baseline()
-    # Reference ESS/sec: measured reference iterations/sec times the
-    # per-iteration statistical efficiency of the (identical) kernel.
-    ref_ess_per_sec = ref_iter_per_sec * tpu["ess_per_chain_iter"] * 1.0
-    vs_baseline = tpu["ess_per_sec"] / ref_ess_per_sec
-    print(
-        f"# tpu: {tpu['chain_iters_per_sec']:.0f} chain-iters/s, "
+    headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
+    tpu, banana_traces = run_tpu_benchmark()
+    _log(
+        f"tpu headline: {tpu['chain_iters_per_sec']:.0f} chain-iters/s, "
         f"{tpu['leapfrog_steps_per_sec']:.0f} leapfrog-steps/s, "
-        f"ESS/s {tpu['ess_per_sec']:.1f}; reference single-core "
-        f"{ref_iter_per_sec:.1f} iters/s (measured={measured})",
-        file=sys.stderr,
+        f"ESS/s {tpu['ess_per_sec']:.1f}"
     )
+
+    configs_rows, torus_traces = [], None
+    if not headline_only:
+        torus_box = []
+        configs_rows = run_config_rows(torus_box)
+        torus_traces = torus_box[0] if torus_box else None
+
+    # Headline denominator: reference ESS/sec measured directly from
+    # reference traces on the identical config-3 setup.  Reuse the
+    # config-3 row's measurement when available; otherwise measure here,
+    # falling back to derived iterations/sec only if the direct
+    # subprocess measurement fails entirely.
+    ref_ess_per_sec = None
+    method = "direct"
+    row3 = next((r for r in configs_rows if r.get("config") == 3), {})
+    if row3.get("ref_ess_method") == "direct":
+        ref_ess_per_sec = row3["ref_ess_per_sec"]
+    else:
+        from benchmarks.reference import measure_reference_ess
+        from benchmarks.run import REF_ESS_SETTINGS
+
+        _, ref_ess_per_sec, measured = measure_reference_ess(
+            3, n_repeat=2, **REF_ESS_SETTINGS[3],
+        )
+        if not measured:
+            ref_iter_per_sec, _ = measure_reference_baseline()
+            ref_ess_per_sec = ref_iter_per_sec * tpu["ess_per_chain_iter"]
+            method = "derived"
+    vs_baseline = tpu["ess_per_sec"] / ref_ess_per_sec
+    _log(
+        f"reference config-3 ESS/s {ref_ess_per_sec:.3f} ({method}); "
+        f"headline ratio {vs_baseline:.0f}x"
+    )
+
+    moment_validation = run_moment_validation(banana_traces, torus_traces)
+
     print(json.dumps({
         "metric": "softabs_rmhmc_banana_ess_per_sec_1024_chains",
         "value": round(tpu["ess_per_sec"], 2),
         "unit": "ESS/s (mean over dims, 1024 chains, TPU chip)",
         "vs_baseline": round(vs_baseline, 1),
+        "ref_ess_method": method,
+        "configs": configs_rows,
+        "moment_validation": moment_validation,
     }))
 
 

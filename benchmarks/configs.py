@@ -80,7 +80,8 @@ def hierarchical_logistic_regression(n_data=256, n_feature=8, seed=0):
     return neg_log_dens, n_feature + 1
 
 
-def config_2_nuts_adaptive(n_chain=4, seed=0):
+def config_2_nuts_adaptive(n_chain=4, seed=0, max_tree_depth=3,
+                           **transition_kwargs):
     """NUTS + dual averaging + windowed diagonal metric adaptation on a
     hierarchical logistic regression posterior.  BASELINE.json config 2.
     """
@@ -93,7 +94,8 @@ def config_2_nuts_adaptive(n_chain=4, seed=0):
     # while lockstep wall time scales with the cap.  The reference
     # comparison mirrors the same cap.
     sampler = samplers.DynamicMultinomialHMC(
-        system, integrator, seed, max_tree_depth=3,
+        system, integrator, seed, max_tree_depth=max_tree_depth,
+        **transition_kwargs,
     )
     rng = np.random.default_rng(seed + 1)
     init_states = list(rng.standard_normal((n_chain, dim)) * 0.5)
@@ -111,8 +113,24 @@ def banana_neg_log_dens(q):
     return 0.5 * q[0] ** 2 / 8.0 + 0.5 * (q[1] - q[0] ** 2 / 4.0) ** 2
 
 
+def banana_exact_sample(n_chain, seed=1):
+    """Exact draws from the banana target (q0 ~ N(0, sqrt(8));
+    q1 | q0 ~ N(q0^2/4, 1)).
+
+    Benchmark init: starting every chain at stationarity removes the
+    burn-in confound from ESS measurement (the same exact init is used
+    for the reference-side runs, benchmarks/reference.py config 3) and
+    turns the moment validation into a pure kernel-preservation check.
+    """
+    rng = np.random.default_rng(seed)
+    q0 = rng.standard_normal(n_chain) * np.sqrt(8.0)
+    q1 = q0**2 / 4.0 + rng.standard_normal(n_chain)
+    return np.stack([q0, q1], axis=1)
+
+
 def config_3_riemannian(n_chain=1024, seed=0, fp_tol=1e-5,
-                        reverse_check_tol=1e-3):
+                        reverse_check_tol=1e-3, max_tree_depth=4,
+                        exact_init=True, **transition_kwargs):
     """SoftAbs-metric RMHMC: implicit leapfrog + fixed-point solves on a
     banana-shaped posterior.  BASELINE.json config 3.
     """
@@ -130,14 +148,19 @@ def config_3_riemannian(n_chain=1024, seed=0, fp_tol=1e-5,
     # truncates the banana's long trajectories, depth 5 wastes lockstep
     # time); the reference comparison mirrors the same cap.
     sampler = samplers.DynamicMultinomialHMC(
-        system, integrator, seed, max_tree_depth=4,
+        system, integrator, seed, max_tree_depth=max_tree_depth,
+        **transition_kwargs,
     )
-    rng = np.random.default_rng(seed + 1)
-    init_states = list(rng.standard_normal((n_chain, 2)) * 0.5)
+    if exact_init:
+        init_states = list(banana_exact_sample(n_chain, seed + 1))
+    else:
+        rng = np.random.default_rng(seed + 1)
+        init_states = list(rng.standard_normal((n_chain, 2)) * 0.5)
     return sampler, init_states, {"adapters": None}
 
 
-def config_4_constrained_torus(n_chain=128, seed=0):
+def config_4_constrained_torus(n_chain=128, seed=0, max_tree_depth=5,
+                               **transition_kwargs):
     """Constrained HMC on a torus manifold with Newton projection.
 
     BASELINE.json config 4 (the reference README worked example,
@@ -166,7 +189,8 @@ def config_4_constrained_torus(n_chain=128, seed=0):
         system, step_size=0.15, n_inner_step=2,
     )
     sampler = samplers.DynamicMultinomialHMC(
-        system, integrator, seed, max_tree_depth=5,
+        system, integrator, seed, max_tree_depth=max_tree_depth,
+        **transition_kwargs,
     )
     rng = np.random.default_rng(seed + 1)
     thetas = rng.uniform(0, 2 * np.pi, (n_chain, 2))
@@ -211,7 +235,8 @@ def config_6_dense_riemannian(n_chain=1024, dim=16, seed=0):
     return sampler, init_states, {"adapters": None}
 
 
-def config_5_massively_parallel(n_chain=4096, dim=100, seed=0, mesh=None):
+def config_5_massively_parallel(n_chain=4096, dim=100, seed=0, mesh=None,
+                                max_tree_depth=4, **transition_kwargs):
     """4096 NUTS chains, vmapped (and optionally sharded over a mesh) with
     host-streamed traces.  BASELINE.json config 5.
     """
@@ -225,7 +250,8 @@ def config_5_massively_parallel(n_chain=4096, dim=100, seed=0, mesh=None):
     # U-turns at ~14 leapfrog steps) while the depth-7 lockstep cost
     # 2.25x more wall time; the reference comparison runs the same cap.
     sampler = samplers.DynamicMultinomialHMC(
-        system, integrator, seed, max_tree_depth=4,
+        system, integrator, seed, max_tree_depth=max_tree_depth,
+        **transition_kwargs,
     )
     rng = np.random.default_rng(seed + 1)
     init_states = list(rng.standard_normal((n_chain, dim)))

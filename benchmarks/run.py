@@ -6,6 +6,7 @@ Usage: python -m benchmarks.run [config_number ...] [--n-warm N] [--n-main N]
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -31,11 +32,14 @@ def _capped_trace_func(cap):
 
 
 def run_config(number, n_warm=50, n_main=100, n_chain=None,
-               warm_compile=True, trace_dim_cap=8):
+               warm_compile=True, trace_dim_cap=8, config_kwargs=None,
+               return_traces=False):
     name, make = CONFIGS[number]
-    sampler, init_states, kwargs = (
-        make() if n_chain is None else make(n_chain=n_chain)
-    )
+    config_kwargs = dict(config_kwargs or {})
+    if n_chain is not None:
+        config_kwargs["n_chain"] = n_chain
+    make = functools.partial(make, **config_kwargs)
+    sampler, init_states, kwargs = make()
     if trace_dim_cap is not None:
         # Trace at most the first `trace_dim_cap` position dimensions:
         # per-dim ESS statistics are unchanged, but the device-to-host
@@ -50,9 +54,7 @@ def run_config(number, n_warm=50, n_main=100, n_chain=None,
         # a one-off cost in production use).  A fresh sampler of the same
         # configuration reuses the compiled stage programs (the jitted
         # engine is module-level and transitions hash by structure).
-        sampler_w, init_w, _ = (
-            make() if n_chain is None else make(n_chain=n_chain)
-        )
+        sampler_w, init_w, _ = make()
         sampler_w.sample_chains(
             n_warm, n_main, init_w, display_progress=False, **kwargs,
         )
@@ -68,9 +70,12 @@ def run_config(number, n_warm=50, n_main=100, n_chain=None,
         "config": number,
         "name": name,
         "n_chain": n_chain,
+        "n_warm": n_warm,
         "n_main": n_main,
         "wall_time_s": round(elapsed, 3),
-        "chain_iters_per_sec": round(n_chain * n_main / elapsed, 1),
+        # wall time spans warm-up + main, so count both iteration kinds
+        "chain_iters_per_sec": round(
+            n_chain * (n_warm + n_main) / elapsed, 1),
         "mean_ess": round(float(ess.mean()), 1),
         "ess_per_sec": round(float(ess.mean()) / elapsed, 2),
         "mean_accept": round(
@@ -80,43 +85,148 @@ def run_config(number, n_warm=50, n_main=100, n_chain=None,
         result["leapfrog_steps_per_sec"] = round(
             float(np.sum(out.statistics["n_step"], where=np.asarray(
                 out.statistics["n_step"]) > 0)) / elapsed, 1)
+    if return_traces:
+        return result, traces
     return result
 
 
+#: Per-config settings for the *direct* reference ESS measurement
+#: (benchmarks/reference.py:measure_reference_ess): enough sequential
+#: chains x iterations for a stable trace-based ESS estimate while
+#: keeping each subprocess run to seconds-to-a-minute of single-core CPU.
+REF_ESS_SETTINGS = {
+    1: {"n_iter": 500, "n_warm": 20, "n_chain": 4},
+    2: {"n_iter": 400, "n_warm": 50, "n_chain": 4},
+    # exact stationary init (configs.banana_exact_sample) -> no warm-up
+    3: {"n_iter": 600, "n_warm": 0, "n_chain": 4},
+    4: {"n_iter": 400, "n_warm": 50, "n_chain": 4},
+    5: {"n_iter": 300, "n_warm": 50, "n_chain": 4},
+}
+
+#: TPU-side driver settings per config for the recorded artifact rows:
+#: 1024+ chains (the chip-vs-core framing of docs/BENCHMARKS.md — one
+#: chip batches the chains one reference core runs sequentially) and
+#: enough warm-up that every chain is burned in before the ESS window
+#: (the banana/torus configs start all chains near the origin).
+BENCH_ROW_SETTINGS = {
+    1: {"n_chain": 1024, "n_warm": 50, "n_main": 150},
+    2: {"n_chain": 1024, "n_warm": 200, "n_main": 300},
+    # exact stationary init -> warm-up only separates program warm from
+    # the measured window
+    3: {"n_chain": 1024, "n_warm": 16, "n_main": 384},
+    4: {"n_chain": 1024, "n_warm": 100, "n_main": 200},
+    5: {"n_chain": 4096, "n_warm": 50, "n_main": 150},
+}
+
+
 def compare_config(number, n_warm=50, n_main=100, n_chain=None,
-                   ref_n_iter=100, ref_n_warm=50, ref_n_repeat=3):
+                   ref_n_iter=100, ref_n_warm=50, ref_n_repeat=3,
+                   ref_method="direct", return_traces=False):
     """TPU run + measured single-core reference denominator + ratio.
 
-    Reference ESS/sec is derived as reference iterations/sec times the
-    per-chain-iteration ESS measured on the TPU run of the identical
-    kernel (see benchmarks/reference.py docstring).
+    With ``ref_method="direct"`` (default) the reference ESS/sec is
+    computed from the reference run's own traces (no distributional
+    assumption — valid for adaptive configs).  With ``"derived"`` it is
+    reference iterations/sec times the per-chain-iteration ESS measured
+    on the TPU run of the identical kernel (sound for fixed-parameter
+    configs; see benchmarks/reference.py docstring).  Direct measurement
+    falls back to derived when every reference subprocess fails.
     """
-    result = run_config(number, n_warm, n_main, n_chain)
-    if number == 3:
-        import bench
+    from benchmarks import reference
 
-        ref_rate, measured = bench.measure_reference_baseline(
-            n_repeat=ref_n_repeat,
+    result, traces = run_config(
+        number, n_warm, n_main, n_chain, return_traces=True,
+    )
+    ref_rate = ref_ess_per_sec = None
+    measured = False
+    if ref_method == "direct":
+        ref_rate, ref_ess_per_sec, measured = reference.measure_reference_ess(
+            number, n_repeat=ref_n_repeat, **REF_ESS_SETTINGS[number],
         )
-    else:
-        from benchmarks import reference
+        result["ref_ess_method"] = "direct"
+    if ref_ess_per_sec is None:
+        if number == 3:
+            import bench
 
-        ref_rate, measured = reference.measure_reference(
-            number, n_iter=ref_n_iter, n_warm=ref_n_warm,
-            n_repeat=ref_n_repeat,
-        )
-    if ref_rate is not None:
-        ess_per_chain_iter = result["mean_ess"] / (
-            result["n_chain"] * result["n_main"]
-        )
-        ref_ess_per_sec = ref_rate * ess_per_chain_iter
+            ref_rate, measured = bench.measure_reference_baseline(
+                n_repeat=ref_n_repeat,
+            )
+        else:
+            ref_rate, measured = reference.measure_reference(
+                number, n_iter=ref_n_iter, n_warm=ref_n_warm,
+                n_repeat=ref_n_repeat,
+            )
+        if ref_rate is not None:
+            ess_per_chain_iter = result["mean_ess"] / (
+                result["n_chain"] * result["n_main"]
+            )
+            ref_ess_per_sec = ref_rate * ess_per_chain_iter
+            result["ref_ess_method"] = "derived"
+    if ref_ess_per_sec is not None:
         result["ref_iters_per_sec"] = round(ref_rate, 2)
         result["ref_ess_per_sec"] = round(ref_ess_per_sec, 4)
         result["vs_reference_ess"] = round(
             result["ess_per_sec"] / ref_ess_per_sec, 1,
         )
         result["ref_measured"] = measured
+    if return_traces:
+        return result, traces
     return result
+
+
+#: The reference transition's default tree-depth limit
+#: (/root/reference/src/mici/transitions.py DynamicIntegrationTransition
+#: max_tree_depth=10) — the point of comparison for cap neutrality.
+BASELINE_DEFAULT_TREE_DEPTH = 10
+
+#: Hand-tuned lockstep depth caps baked into benchmarks/configs.py.
+CONFIG_TREE_DEPTH_CAPS = {2: 3, 3: 4, 4: 5, 5: 4}
+
+
+def verify_depth_cap_neutrality(number, n_chain=256, n_warm=32, n_main=128,
+                                rel_tol=0.25, rebatch_slots=32):
+    """Assert a config's ``max_tree_depth`` cap is ESS-neutral (VERDICT
+    round-2 item 6).
+
+    Runs two short calibration runs of the config — at its tuned cap and
+    at the reference-default depth 10 (with depth-tail re-batching so the
+    uncapped run doesn't pay full batch-max lockstep cost) — and checks
+    the per-chain-iteration ESS at the cap is within ``rel_tol`` of the
+    uncapped value, i.e. the cap trades only wall time, never statistical
+    efficiency.  Returns a JSON-ready dict; raises ``AssertionError`` on
+    violation so recorded capped ratios cannot silently trade ESS for
+    wall time.
+    """
+    cap = CONFIG_TREE_DEPTH_CAPS[number]
+    capped = run_config(
+        number, n_warm, n_main, n_chain,
+        config_kwargs={"max_tree_depth": cap},
+    )
+    uncapped = run_config(
+        number, n_warm, n_main, n_chain,
+        config_kwargs={
+            "max_tree_depth": BASELINE_DEFAULT_TREE_DEPTH,
+            "rebatch_depth": cap,
+            "rebatch_slots": rebatch_slots,
+        },
+    )
+    per_iter = lambda r: r["mean_ess"] / (r["n_chain"] * r["n_main"])  # noqa: E731
+    ratio = per_iter(capped) / per_iter(uncapped)
+    report = {
+        "config": number,
+        "cap": cap,
+        "ess_per_chain_iter_capped": round(per_iter(capped), 5),
+        "ess_per_chain_iter_uncapped": round(per_iter(uncapped), 5),
+        "capped_over_uncapped": round(ratio, 3),
+        "rel_tol": rel_tol,
+        "ok": bool(ratio >= 1.0 - rel_tol),
+    }
+    if not report["ok"]:
+        msg = (f"config {number}: depth cap {cap} loses per-iteration ESS "
+               f"vs depth {BASELINE_DEFAULT_TREE_DEPTH} "
+               f"(ratio {ratio:.3f} < 1 - {rel_tol})")
+        raise AssertionError(msg)
+    return report
 
 
 def main():
@@ -129,9 +239,19 @@ def main():
     parser.add_argument("--compare", action="store_true",
                         help="also measure the single-core reference "
                              "denominator and report the ESS/sec ratio")
+    parser.add_argument("--guard", action="store_true",
+                        help="run the depth-cap ESS-neutrality guard for "
+                             "each listed NUTS config instead of the "
+                             "benchmark (asserts per-chain-iteration ESS "
+                             "parity between the tuned cap and the "
+                             "reference-default depth 10)")
     args = parser.parse_args()
     for number in args.configs or [1, 2, 3, 4, 5]:
-        if args.compare:
+        if args.guard:
+            if number not in CONFIG_TREE_DEPTH_CAPS:
+                continue
+            result = verify_depth_cap_neutrality(number)
+        elif args.compare:
             result = compare_config(
                 number, args.n_warm, args.n_main, args.n_chain,
             )

@@ -21,6 +21,7 @@ from mici_tpu import (  # noqa: F401
     matrices,
     ops,
     parallel,
+    precision,
     profiling,
     progressbars,
     samplers,

@@ -43,7 +43,7 @@ from mici_tpu.progressbars import (
     LabelledSequenceProgressBar,
     SequenceProgressBar,
 )
-from mici_tpu import sketches
+from mici_tpu import precision, sketches
 from mici_tpu.stagers import WarmUpStager, WindowedWarmUpStager
 from mici_tpu.states import ChainState
 from mici_tpu.transitions import (
@@ -190,13 +190,29 @@ def _finalize_trace_summary(summary, quantiles=()):
     return out
 
 
+def _engine_precision(fn):
+    """Trace a compiled-engine body under the matmul-precision policy.
+
+    Applied *inside* ``jax.jit`` so every ``dot_general`` traced by the
+    engine gets :func:`mici_tpu.precision.get_matmul_precision` (TPU
+    correctness requirement — see mici_tpu/precision.py).
+    """
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with precision.matmul_precision_scope():
+            return fn(*args, **kwargs)
+    return wrapper
+
+
 @jax.jit
+@_engine_precision
 def _prepare_states_batch(system, states):
     """Populate aux entries for a whole chain batch in one program."""
     return jax.vmap(system.prepare_state)(states)
 
 
 @jax.jit
+@_engine_precision
 def _sample_momenta_batch(system, states, keys):
     """Sample momenta for a whole chain batch in one program."""
     return jax.vmap(system.sample_momentum)(states, keys)
@@ -227,6 +243,7 @@ def _propagate_system(transitions, system):
         "summarize", "summary_quantiles",
     ),
 )
+@_engine_precision
 def _run_stage_chunk(transitions, states, keys, params, adapt_states,
                      summary=None, *, trans_keys, adapters, trace_funcs,
                      n_iter, trace_thin=1, summarize=False,
@@ -348,6 +365,7 @@ def _run_stage_chunk(transitions, states, keys, params, adapt_states,
 
 
 @functools.partial(jax.jit, static_argnames=("trans_keys", "adapters"))
+@_engine_precision
 def _init_adapters(transitions, states, *, trans_keys, adapters):
     """Initialize adapter states and params per chain (vmapped).
 
@@ -925,10 +943,13 @@ class MarkovChainMonteCarloMethod:
         """
         for trans_key, adapter_list in stage_adapters:
             for i, adapter in enumerate(adapter_list):
-                transition, states = adapter.finalize(
-                    adapt_states[trans_key][i], states,
-                    transitions[trans_key], self._next_key(),
-                )
+                # finalize may factorize the adapted metric (Cholesky /
+                # matmuls) eagerly, so it needs the engine precision too.
+                with precision.matmul_precision_scope():
+                    transition, states = adapter.finalize(
+                        adapt_states[trans_key][i], states,
+                        transitions[trans_key], self._next_key(),
+                    )
                 transitions = dict(transitions)
                 transitions[trans_key] = transition
                 if hasattr(transition, "system"):
