@@ -259,7 +259,7 @@ def run_config_rows(torus_traces_out):
         t0 = time.perf_counter()
         try:
             row, traces = compare_config(
-                number, ref_n_repeat=2, return_traces=True,
+                number, return_traces=True,
                 **BENCH_ROW_SETTINGS[number],
             )
             if number == 4:
@@ -325,7 +325,7 @@ def main():
         from benchmarks.run import REF_ESS_SETTINGS
 
         _, ref_ess_per_sec, measured = measure_reference_ess(
-            3, n_repeat=2, **REF_ESS_SETTINGS[3],
+            3, **REF_ESS_SETTINGS[3],
         )
         if not measured:
             ref_iter_per_sec, _ = measure_reference_baseline()

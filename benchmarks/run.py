@@ -95,12 +95,17 @@ def run_config(number, n_warm=50, n_main=100, n_chain=None,
 #: chains x iterations for a stable trace-based ESS estimate while
 #: keeping each subprocess run to seconds-to-a-minute of single-core CPU.
 REF_ESS_SETTINGS = {
-    1: {"n_iter": 500, "n_warm": 20, "n_chain": 4},
-    2: {"n_iter": 400, "n_warm": 50, "n_chain": 4},
+    # Sizes chosen for estimator stability: the short-chain ESS estimate
+    # is noisy (config 1's near-antithetic static-HMC kernel swung 2x at
+    # 4x500 samples; stable within ~8% at 8x1500).  ``n_repeat`` is per
+    # config: more repeats where a reference run costs seconds, fewer
+    # where it costs minutes (configs 3/4's implicit/constrained solves).
+    1: {"n_iter": 1500, "n_warm": 20, "n_chain": 8, "n_repeat": 3},
+    2: {"n_iter": 800, "n_warm": 100, "n_chain": 6, "n_repeat": 3},
     # exact stationary init (configs.banana_exact_sample) -> no warm-up
-    3: {"n_iter": 600, "n_warm": 0, "n_chain": 4},
-    4: {"n_iter": 400, "n_warm": 50, "n_chain": 4},
-    5: {"n_iter": 300, "n_warm": 50, "n_chain": 4},
+    3: {"n_iter": 600, "n_warm": 0, "n_chain": 4, "n_repeat": 2},
+    4: {"n_iter": 400, "n_warm": 50, "n_chain": 4, "n_repeat": 2},
+    5: {"n_iter": 600, "n_warm": 50, "n_chain": 6, "n_repeat": 3},
 }
 
 #: TPU-side driver settings per config for the recorded artifact rows:
@@ -109,7 +114,12 @@ REF_ESS_SETTINGS = {
 #: enough warm-up that every chain is burned in before the ESS window
 #: (the banana/torus configs start all chains near the origin).
 BENCH_ROW_SETTINGS = {
-    1: {"n_chain": 1024, "n_warm": 50, "n_main": 150},
+    # 4096 chains + a longer window: config 1's per-iteration device work
+    # is tiny, so at 1024 chains the sub-second wall is dominated by
+    # per-call dispatch jitter on the dev backend (observed 2x run-to-run
+    # swings); 4096 chains amortize it and the reference core cannot
+    # batch.
+    1: {"n_chain": 4096, "n_warm": 50, "n_main": 300},
     2: {"n_chain": 1024, "n_warm": 200, "n_main": 300},
     # exact stationary init -> warm-up only separates program warm from
     # the measured window
@@ -140,8 +150,12 @@ def compare_config(number, n_warm=50, n_main=100, n_chain=None,
     ref_rate = ref_ess_per_sec = None
     measured = False
     if ref_method == "direct":
+        ess_settings = dict(REF_ESS_SETTINGS[number])
+        # Per-config repeat counts in the settings table win over the
+        # caller's blanket default.
+        ess_settings.setdefault("n_repeat", ref_n_repeat)
         ref_rate, ref_ess_per_sec, measured = reference.measure_reference_ess(
-            number, n_repeat=ref_n_repeat, **REF_ESS_SETTINGS[number],
+            number, **ess_settings,
         )
         result["ref_ess_method"] = "direct"
     if ref_ess_per_sec is None:
