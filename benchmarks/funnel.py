@@ -48,30 +48,36 @@ FUNNEL_DIM = 10
 FUNNEL_SCALE = 3.0
 
 
-def funnel_neg_log_dens(q):
+def make_funnel_neg_log_dens(dim=FUNNEL_DIM):
     import jax.numpy as jnp
 
-    v, x = q[0], q[1:]
-    return (
-        0.5 * v**2 / FUNNEL_SCALE**2
-        + 0.5 * jnp.sum(x**2) * jnp.exp(-v)
-        + 0.5 * (FUNNEL_DIM - 1) * v
-    )
+    def funnel_neg_log_dens(q):
+        v, x = q[0], q[1:]
+        return (
+            0.5 * v**2 / FUNNEL_SCALE**2
+            + 0.5 * jnp.sum(x**2) * jnp.exp(-v)
+            + 0.5 * (dim - 1) * v
+        )
+
+    return funnel_neg_log_dens
 
 
-def funnel_exact_sample(n_chain, seed=1):
+funnel_neg_log_dens = make_funnel_neg_log_dens()
+
+
+def funnel_exact_sample(n_chain, seed=1, dim=FUNNEL_DIM):
     """Exact draws (the funnel factorizes): stationary init on both ends
     of the depth spectrum, so ESS measures stationary mixing."""
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(n_chain) * FUNNEL_SCALE
-    x = rng.standard_normal((n_chain, FUNNEL_DIM - 1)) * np.exp(
+    x = rng.standard_normal((n_chain, dim - 1)) * np.exp(
         v[:, None] / 2.0)
     return np.concatenate([v[:, None], x], axis=1)
 
 
 def make_funnel_sampler(seed=0, step_size=0.2, max_tree_depth=10,
-                        **transition_kwargs):
-    system = systems.EuclideanMetricSystem(funnel_neg_log_dens)
+                        dim=FUNNEL_DIM, **transition_kwargs):
+    system = systems.EuclideanMetricSystem(make_funnel_neg_log_dens(dim))
     integrator = integrators.LeapfrogIntegrator(system, step_size=step_size)
     return samplers.DynamicMultinomialHMC(
         system, integrator, seed, max_tree_depth=max_tree_depth,
@@ -79,14 +85,15 @@ def make_funnel_sampler(seed=0, step_size=0.2, max_tree_depth=10,
     )
 
 
-def run_variant(label, n_chain, n_main, warm_compile=True, **kwargs):
-    init = list(funnel_exact_sample(n_chain))
+def run_variant(label, n_chain, n_main, warm_compile=True, dim=FUNNEL_DIM,
+                **kwargs):
+    init = list(funnel_exact_sample(n_chain, dim=dim))
     if warm_compile:
-        make_funnel_sampler(**kwargs).sample_chains(
-            0, 2, list(funnel_exact_sample(n_chain, seed=7)),
+        make_funnel_sampler(dim=dim, **kwargs).sample_chains(
+            0, 2, list(funnel_exact_sample(n_chain, seed=7, dim=dim)),
             display_progress=False, adapters=None,
         )
-    sampler = make_funnel_sampler(**kwargs)
+    sampler = make_funnel_sampler(dim=dim, **kwargs)
     t0 = time.perf_counter()
     out = sampler.sample_chains(
         0, n_main, init, display_progress=False, adapters=None,
@@ -118,6 +125,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--n-chain", type=int, default=256)
     parser.add_argument("--n-main", type=int, default=128)
+    parser.add_argument("--dim", type=int, default=FUNNEL_DIM)
+    parser.add_argument("--step-size", type=float, default=0.2)
     parser.add_argument("--static-caps", type=int, nargs="*",
                         default=[6, 8, 10])
     parser.add_argument("--rebatch-depths", type=int, nargs="*",
@@ -129,14 +138,15 @@ def main():
     for cap in args.static_caps:
         rows.append(run_variant(
             f"static_cap_{cap}", args.n_chain, args.n_main,
-            max_tree_depth=cap,
+            max_tree_depth=cap, dim=args.dim, step_size=args.step_size,
         ))
         print(json.dumps(rows[-1]), flush=True)
     for depth in args.rebatch_depths:
         rows.append(run_variant(
             f"rebatch_{depth}_slots{args.rebatch_slots}", args.n_chain,
             args.n_main, max_tree_depth=10, rebatch_depth=depth,
-            rebatch_slots=args.rebatch_slots,
+            rebatch_slots=args.rebatch_slots, dim=args.dim,
+            step_size=args.step_size,
         ))
         print(json.dumps(rows[-1]), flush=True)
 
