@@ -36,16 +36,22 @@ import time
 
 import numpy as np
 
-N_CHAIN = 1024
-CHUNK = 16           # one compiled program is reused for warm-up and main
-N_WARM = 32
-N_MAIN = 192
-STEP_SIZE = 0.2
-MAX_TREE_DEPTH = 4  # measured ESS/s optimum under vmapped lockstep
-SOFTABS_COEFF = 1.0
-FP_TOL = 1e-5
-FP_MAX_ITERS = 30
-REV_TOL = 1e-3
+# Headline constants + kernel harness live in benchmarks/headline.py (one
+# construction site shared with benchmarks/solver_ab.py so the A/B probe
+# measures exactly the kernel reported here).
+from benchmarks.headline import (  # noqa: F401  (re-exported constants)
+    CHUNK,
+    FP_MAX_ITERS,
+    FP_TOL,
+    MAX_TREE_DEPTH,
+    N_CHAIN,
+    N_MAIN,
+    N_WARM,
+    REV_TOL,
+    SOFTABS_COEFF,
+    STEP_SIZE,
+    run_headline_kernel,
+)
 
 # Fallback single-core reference throughput (NUTS iterations/sec) in case
 # the subprocess measurement fails; measured 2026-08-16 on this host.
@@ -139,103 +145,11 @@ def measure_reference_baseline(n_iter=150, timeout=240, n_repeat=3):
 
 
 def run_tpu_benchmark():
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
-    from mici_tpu import integrators, systems, transitions
-    from mici_tpu.diagnostics import effective_sample_size
-    from mici_tpu.states import ChainState
-
-    def nld(q):
-        return 0.5 * q[0] ** 2 / 8.0 + 0.5 * (q[1] - q[0] ** 2 / 4.0) ** 2
-
-    system = systems.SoftAbsRiemannianMetricSystem(
-        nld, softabs_coeff=SOFTABS_COEFF)
-    integrator = integrators.ImplicitLeapfrogIntegrator(
-        system, step_size=STEP_SIZE, reverse_check_tol=REV_TOL,
-        fixed_point_solver_kwargs={
-            "convergence_tol": FP_TOL, "max_iters": FP_MAX_ITERS,
-        })
-    # Default settings throughout (loop_mode="fused" is the shipped
-    # default): the headline measures what users get.
-    transition = transitions.MultinomialDynamicIntegrationTransition(
-        system, integrator, max_tree_depth=MAX_TREE_DEPTH)
-
-    from mici_tpu.precision import matmul_precision_scope
-
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def run(states, keys, n_iter):
-        def chain(state, key):
-            def body(state, k):
-                k1, k2 = jax.random.split(k)
-                state = state.replace(
-                    mom=system.sample_momentum(state, k1))
-                state, stats = transition.sample(state, k2)
-                return state, (state.pos, stats["n_step"])
-
-            ks = jax.random.split(key, n_iter)
-            state, (pos, n_step) = jax.lax.scan(body, state, ks)
-            return state, pos, n_step
-
-        # Engine matmul-precision policy (TPU bf16-matmul default breaks
-        # the implicit solves — see mici_tpu/precision.py).
-        with matmul_precision_scope():
-            return jax.vmap(chain)(states, keys)
-
-    from benchmarks.configs import banana_exact_sample
-
-    dtype = jnp.zeros(()).dtype
-    # Exact stationary init: ESS measures stationary mixing (the reference
-    # denominator run starts from the same exact draws) and the banana
-    # moment validation becomes a pure kernel-preservation check.
-    pos0 = jnp.asarray(banana_exact_sample(N_CHAIN, seed=1), dtype)
-    states = jax.vmap(
-        lambda q: system.prepare_state(
-            ChainState(pos=q, mom=jnp.zeros_like(q), dir=1)),
-    )(pos0)
-
-    def host_sync(x):
-        # On remote-tunneled backends ``block_until_ready`` can return
-        # before execution completes; a (tiny) host fetch is a reliable
-        # barrier.
-        return np.asarray(x[:1, :1])
-
-    # Warm-up chunk (compiles the single chunk-sized program).
-    keys = jax.random.split(jax.random.PRNGKey(0), N_CHAIN)
-    for i in range(N_WARM // CHUNK):
-        states, _, _ = run(states, keys, CHUNK)
-        keys = jax.random.split(jax.random.PRNGKey(1000 + i), N_CHAIN)
-    host_sync(states.pos)
-
-    # Timed main run: reuse the compiled chunk program.
-    pos_chunks, n_step_chunks = [], []
-    t0 = time.perf_counter()
-    for i in range(N_MAIN // CHUNK):
-        keys = jax.random.split(jax.random.PRNGKey(2000 + i), N_CHAIN)
-        states, pos_trace, n_steps = run(states, keys, CHUNK)
-        pos_chunks.append(pos_trace)
-        n_step_chunks.append(n_steps)
-    host_sync(states.pos)
-    elapsed = time.perf_counter() - t0
-
-    pos_trace = np.concatenate(
-        [np.asarray(c) for c in pos_chunks], axis=1)  # (n_chain, n_iter, 2)
-    n_steps = np.concatenate(
-        [np.asarray(c) for c in n_step_chunks], axis=1)
-    ess = np.array([
-        effective_sample_size(pos_trace[:, :, d]) for d in range(2)
-    ])
-    mean_ess = float(ess.mean())
-    return {
-        "elapsed": elapsed,
-        "ess_total_mean_dim": mean_ess,
-        "ess_per_sec": mean_ess / elapsed,
-        "ess_per_chain_iter": mean_ess / (N_CHAIN * N_MAIN),
-        "chain_iters_per_sec": N_CHAIN * N_MAIN / elapsed,
-        "leapfrog_steps_per_sec": float(n_steps.sum()) / elapsed,
-    }, pos_trace
+    """Headline measurement: the shared config-3 kernel harness at the
+    headline constants (benchmarks/headline.py)."""
+    metrics, pos_trace = run_headline_kernel()
+    metrics.pop("stats", None)
+    return metrics, pos_trace
 
 
 def _log(msg):

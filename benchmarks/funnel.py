@@ -89,8 +89,15 @@ def run_variant(label, n_chain, n_main, warm_compile=True, dim=FUNNEL_DIM,
                 **kwargs):
     init = list(funnel_exact_sample(n_chain, dim=dim))
     if warm_compile:
+        # The stage program's iteration count is a static (compiled-in)
+        # parameter (sample_chains runs each stage as one chunk by
+        # default), so the warm run must use the *same* n_main as the
+        # timed run — a shorter warm run would compile a different
+        # program and leave the real compile inside the timed region,
+        # biasing exactly the rebatch-vs-static comparison this
+        # benchmark records (rebatch programs compile slower).
         make_funnel_sampler(dim=dim, **kwargs).sample_chains(
-            0, 2, list(funnel_exact_sample(n_chain, seed=7, dim=dim)),
+            0, n_main, list(funnel_exact_sample(n_chain, seed=7, dim=dim)),
             display_progress=False, adapters=None,
         )
     sampler = make_funnel_sampler(dim=dim, **kwargs)

@@ -157,7 +157,8 @@ def compare_config(number, n_warm=50, n_main=100, n_chain=None,
         ref_rate, ref_ess_per_sec, measured = reference.measure_reference_ess(
             number, **ess_settings,
         )
-        result["ref_ess_method"] = "direct"
+        if ref_ess_per_sec is not None:
+            result["ref_ess_method"] = "direct"
     if ref_ess_per_sec is None:
         if number == 3:
             import bench

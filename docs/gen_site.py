@@ -170,9 +170,18 @@ def _render_doc(doc, link_names):
 
 def _signature(obj):
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # Callable defaults repr as "<function name at 0x7f...>", which embeds
+    # a per-process memory address — regenerating the site would then dirty
+    # every page containing one.  Rewrite to the stable qualified name.
+    return re.sub(
+        r"<(?:function|built-in function|bound method) ([\w.<>]+)"
+        r"(?: at 0x[0-9a-f]+)?>",
+        r"\1",
+        sig,
+    )
 
 
 def _public_members(module):

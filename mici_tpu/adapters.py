@@ -472,10 +472,16 @@ class TreeDepthCapAdapter(Adapter):
         cum = np.cumsum(counts) / total
         d_q = int(np.argmax(cum >= self.quantile))
         wanted = d_q + 1 + self.margin
-        if wanted >= stage_max and self.grow_back_max is not None:
-            # Distribution pushes against the cap this stage ran under:
-            # grow back one notch (a capped window cannot observe deeper
-            # trees, so growth must be incremental).
+        if d_q + 1 >= stage_max and self.grow_back_max is not None:
+            # The realized depth distribution is censored at the cap this
+            # stage ran under (the quantile depth's +1 doubling headroom
+            # reaches the maximum observable depth), so deeper trees may
+            # have been truncated: grow back one notch (a capped window
+            # cannot observe deeper trees, so growth must be incremental).
+            # The censoring test deliberately excludes ``margin`` — margin
+            # is user headroom, not evidence of truncation, and including
+            # it would oscillate the cap (and recompile the stage program)
+            # every window whenever ``d_q + 1 + margin`` straddles the cap.
             new_cap = min(self.grow_back_max, stage_max + 1)
         else:
             new_cap = min(stage_max, wanted)

@@ -204,6 +204,35 @@ def test_tree_depth_cap_finalize_policy():
     assert grown.max_tree_depth == 5
 
 
+def test_tree_depth_cap_margin_does_not_oscillate():
+    """margin is headroom, not censoring evidence: a quantile depth well
+    below the cap must not trigger grow-back just because d_q + 1 + margin
+    reaches the cap (regression: the cap would oscillate one notch every
+    window, recompiling the stage program each time)."""
+    adapter = adapters.TreeDepthCapAdapter(
+        quantile=0.9, margin=2, grow_back_max=10)
+    sampler, _ = _depth_cap_fixture(max_tree_depth=8)
+    transition = sampler.transitions["integration_transition"]
+    # Quantile depth 5 under cap 8: wanted = 5 + 1 + 2 = 8 but depths 6-8
+    # are unpopulated, so the distribution is not censored -> keep cap 8.
+    counts = np.zeros((2, 9), np.int32)
+    counts[:, 4] = 50
+    counts[:, 5] = 50
+    kept, _ = adapter.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, transition, None)
+    assert kept.max_tree_depth == 8
+    # Re-finalizing with the same distribution is a fixed point.
+    kept2, _ = adapter.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, kept, None)
+    assert kept2.max_tree_depth == 8
+    # Genuine censoring (quantile depth at the cap boundary) still grows.
+    counts = np.zeros((2, 9), np.int32)
+    counts[:, 7] = 100
+    grown, _ = adapter.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, kept, None)
+    assert grown.max_tree_depth == 9
+
+
 def test_tree_depth_cap_requires_dynamic_transition():
     system = systems.EuclideanMetricSystem(lambda q: 0.5 * jnp.sum(q**2))
     integ = integrators.LeapfrogIntegrator(system, 0.5)

@@ -33,3 +33,20 @@ def test_torus_constraint_preserved():
     x, y, z = pos[:, 0], pos[:, 1], pos[:, 2]
     c = (np.sqrt(x**2 + y**2) - 1.0) ** 2 + z**2 - 0.25
     np.testing.assert_allclose(c, 0.0, atol=1e-5)
+
+
+def test_headline_harness_smoke():
+    """The shared config-3 headline harness (benchmarks/headline.py,
+    consumed by bench.py and benchmarks/solver_ab.py) runs end-to-end
+    and returns consistent metrics + traces."""
+    from benchmarks.headline import run_headline_kernel
+
+    metrics, traces = run_headline_kernel(
+        n_chain=4, n_warm=2, n_main=4, chunk=2, max_tree_depth=2,
+        extra_stats=("accept_stat", "convergence_error"),
+    )
+    assert traces.shape == (4, 4, 2)
+    assert np.all(np.isfinite(traces))
+    assert metrics["ess_total_mean_dim"] > 0
+    assert metrics["stats"]["accept_stat"].shape == (4, 4)
+    assert 0.0 <= float(np.mean(metrics["stats"]["accept_stat"])) <= 1.0
