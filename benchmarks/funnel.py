@@ -86,24 +86,32 @@ def make_funnel_sampler(seed=0, step_size=0.2, max_tree_depth=10,
 
 
 def run_variant(label, n_chain, n_main, warm_compile=True, dim=FUNNEL_DIM,
-                **kwargs):
+                n_warm=0, adapters_factory=None, **kwargs):
     init = list(funnel_exact_sample(n_chain, dim=dim))
+    run_kwargs = {"display_progress": False}
     if warm_compile:
         # The stage program's iteration count is a static (compiled-in)
         # parameter (sample_chains runs each stage as one chunk by
-        # default), so the warm run must use the *same* n_main as the
-        # timed run — a shorter warm run would compile a different
-        # program and leave the real compile inside the timed region,
-        # biasing exactly the rebatch-vs-static comparison this
+        # default), so the warm run must use the *same* (n_warm, n_main)
+        # as the timed run — a shorter warm run would compile a
+        # different program and leave the real compile inside the timed
+        # region, biasing exactly the rebatch-vs-static comparison this
         # benchmark records (rebatch programs compile slower).
+        # Same init as the timed run: for adaptive variants the warm
+        # pass then tunes the *same* static parameters (deterministic),
+        # so the timed pass hits the identical compiled programs.
         make_funnel_sampler(dim=dim, **kwargs).sample_chains(
-            0, n_main, list(funnel_exact_sample(n_chain, seed=7, dim=dim)),
-            display_progress=False, adapters=None,
+            n_warm, n_main, init,
+            adapters=(None if adapters_factory is None
+                      else adapters_factory()),
+            **run_kwargs,
         )
     sampler = make_funnel_sampler(dim=dim, **kwargs)
     t0 = time.perf_counter()
     out = sampler.sample_chains(
-        0, n_main, init, display_progress=False, adapters=None,
+        n_warm, n_main, init,
+        adapters=None if adapters_factory is None else adapters_factory(),
+        **run_kwargs,
     )
     elapsed = time.perf_counter() - t0
     traces = np.stack([np.asarray(t) for t in out.traces["pos"]])
@@ -115,7 +123,11 @@ def run_variant(label, n_chain, n_main, warm_compile=True, dim=FUNNEL_DIM,
     return {
         "variant": label,
         "n_chain": n_chain,
+        "n_warm": n_warm,
         "n_main": n_main,
+        "tuned_rebatch_depth": getattr(
+            sampler.transitions["integration_transition"],
+            "rebatch_depth", None),
         "wall_s": round(elapsed, 2),
         "chain_iters_per_sec": round(n_chain * n_main / elapsed, 1),
         "mean_ess": round(float(ess.mean()), 1),
@@ -139,6 +151,9 @@ def main():
     parser.add_argument("--rebatch-depths", type=int, nargs="*",
                         default=[5, 6])
     parser.add_argument("--rebatch-slots", type=int, default=32)
+    parser.add_argument("--auto-warm", type=int, default=32,
+                        help="warm-up iterations for the auto_rebatch "
+                             "variant (0 disables it)")
     args = parser.parse_args()
 
     rows = []
@@ -156,20 +171,38 @@ def main():
             step_size=args.step_size,
         ))
         print(json.dumps(rows[-1]), flush=True)
+    n_fixed = len(args.static_caps) + len(args.rebatch_depths)
+    if args.auto_warm:
+        # Fully closed loop: TreeDepthCapAdapter(mode="rebatch") tunes
+        # the re-batching boundary from the warm-up depth histogram —
+        # exact traces, no hand-chosen depth anywhere.  Wall time
+        # includes the warm-up (the price of the tuning).
+        from mici_tpu.adapters import TreeDepthCapAdapter
 
-    best_static = max(rows[:len(args.static_caps)],
-                      key=lambda r: r["ess_per_sec"])
-    best_rebatch = max(rows[len(args.static_caps):],
-                       key=lambda r: r["ess_per_sec"])
-    print(json.dumps({
-        "summary": "rebatch_vs_best_static",
-        "best_static": best_static["variant"],
-        "best_static_ess_per_sec": best_static["ess_per_sec"],
-        "best_rebatch": best_rebatch["variant"],
-        "best_rebatch_ess_per_sec": best_rebatch["ess_per_sec"],
-        "speedup": round(
-            best_rebatch["ess_per_sec"] / best_static["ess_per_sec"], 2),
-    }))
+        rows.append(run_variant(
+            "auto_rebatch", args.n_chain, args.n_main,
+            n_warm=args.auto_warm, max_tree_depth=10,
+            rebatch_slots=args.rebatch_slots, dim=args.dim,
+            step_size=args.step_size,
+            adapters_factory=lambda: [TreeDepthCapAdapter(mode="rebatch")],
+        ))
+        print(json.dumps(rows[-1]), flush=True)
+
+    static_rows = rows[:len(args.static_caps)]
+    rebatch_rows = rows[len(args.static_caps):n_fixed]
+    if static_rows and rebatch_rows:
+        best_static = max(static_rows, key=lambda r: r["ess_per_sec"])
+        best_rebatch = max(rebatch_rows, key=lambda r: r["ess_per_sec"])
+        print(json.dumps({
+            "summary": "rebatch_vs_best_static",
+            "best_static": best_static["variant"],
+            "best_static_ess_per_sec": best_static["ess_per_sec"],
+            "best_rebatch": best_rebatch["variant"],
+            "best_rebatch_ess_per_sec": best_rebatch["ess_per_sec"],
+            "speedup": round(
+                best_rebatch["ess_per_sec"] / best_static["ess_per_sec"],
+                2),
+        }))
 
 
 if __name__ == "__main__":

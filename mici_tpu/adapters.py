@@ -394,46 +394,70 @@ class OnlineCovarianceMetricAdapter(OnlineVarianceMetricAdapter):
 
 
 class TreeDepthCapAdapter(Adapter):
-    """Warm-up adapter setting the NUTS ``max_tree_depth`` cap online.
+    """Warm-up adapter tuning the NUTS depth-tail handling online.
 
     TPU-native addition (no reference counterpart — the reference's
     per-chain doubling loop, mici/transitions.py:708-770, pays only each
     chain's actual tree depth, so it never needs a cap).  Under vmapped
-    lockstep execution ``max_tree_depth`` is a first-order throughput
-    knob: measured sweeps (docs/BENCHMARKS.md) show the optimal cap is
-    the kernel's *natural U-turn depth*, at which per-iteration ESS is
-    unchanged while wall time drops by the depth-tail factor.  This
-    adapter measures that depth during warm-up instead of requiring a
+    lockstep execution the tree-depth *tail* is a first-order throughput
+    knob: a NUTS iteration pays the batch-realized-max depth, so a few
+    deep-tree chains tax the whole batch.  This adapter measures the
+    kernel's natural U-turn depth during warm-up instead of requiring a
     hand-tuned sweep: it histograms the realized ``tree_depth``
-    statistic per chain and, at stage finalization, re-caps the
-    transition at the ``quantile`` depth (+1 doubling, + ``margin``).
+    statistic per chain and, at stage finalization, re-tunes the
+    transition from the ``quantile`` depth (+1 doubling, + ``margin``).
+    Two modes:
 
-    Because ``max_tree_depth`` is a static (compiled-in) parameter, each
-    re-cap triggers one recompilation of the following stage's program;
-    with the default single warm-up stage that is one extra compile for
-    the main stage.  With a multi-window stager the cap is recomputed at
-    every window boundary from that window's histogram; since a window
-    sampled under a cap cannot observe deeper trees, pass
-    ``grow_back_max`` (normally the originally configured
-    ``max_tree_depth``) to let a cap whose depth distribution pushes
-    against it grow back one notch per window instead of locking in a
-    noisy early guess.  Combine with the transition's ``rebatch_depth``
-    (depth-tail re-batching) to also remove the residual in-cap tail
-    cost.
+    - ``mode="cap"`` (default): re-caps ``max_tree_depth`` at the tuned
+      depth.  Maximum throughput; statistically safe when the depth
+      distribution is narrow (measured sweeps in docs/BENCHMARKS.md show
+      per-iteration ESS unchanged at the natural-depth cap on every
+      BASELINE config), but on funnel-like geometry truncation costs
+      per-iteration ESS.
+    - ``mode="rebatch"``: leaves ``max_tree_depth`` unchanged and
+      instead sets the transition's ``rebatch_depth`` (depth-tail
+      re-batching boundary) at the tuned depth, so the bulk of chains
+      run full-width to the natural depth and only the deep tail
+      continues in narrow fixed-slot rounds — per-chain decisions stay
+      bit-identical to plain execution (exact at any geometry; measured
+      1.8-2.5x over plain uncapped lockstep on the funnel study,
+      docs/BENCHMARKS.md round-3).  Requires ``loop_mode="fused"`` (the
+      default).
+
+    Because ``max_tree_depth`` / ``rebatch_depth`` are static
+    (compiled-in) parameters, each re-tune triggers one recompilation of
+    the following stage's program; with the default single warm-up stage
+    that is one extra compile for the main stage.  With a multi-window
+    stager the depth is recomputed at every window boundary from that
+    window's histogram; since a window sampled under a *cap* cannot
+    observe deeper trees, pass ``grow_back_max`` (normally the
+    originally configured ``max_tree_depth``) to let a cap whose depth
+    distribution is censored at it grow back one notch per window
+    instead of locking in a noisy early guess (``mode="rebatch"`` never
+    censors, so it needs no grow-back).
     """
 
     is_fast = True
 
-    def __init__(self, quantile=0.98, margin=0, grow_back_max=None):
+    def __init__(self, quantile=0.98, margin=0, grow_back_max=None,
+                 mode="cap"):
         if not 0.0 < quantile <= 1.0:
             msg = "quantile must be in (0, 1]."
             raise ValueError(msg)
         if margin < 0:
             msg = "margin must be non-negative."
             raise ValueError(msg)
+        if mode not in ("cap", "rebatch"):
+            msg = "mode must be 'cap' or 'rebatch'."
+            raise ValueError(msg)
+        if mode == "rebatch" and grow_back_max is not None:
+            msg = ("grow_back_max only applies to mode='cap' "
+                   "(re-batching never censors the depth histogram).")
+            raise ValueError(msg)
         self.quantile = quantile
         self.margin = margin
         self.grow_back_max = grow_back_max
+        self.mode = mode
 
     def initialize(self, chain_state, transition):
         max_depth = getattr(transition, "max_tree_depth", None)
@@ -441,6 +465,14 @@ class TreeDepthCapAdapter(Adapter):
             msg = (
                 "TreeDepthCapAdapter requires a dynamic (NUTS) integration "
                 "transition with a max_tree_depth parameter."
+            )
+            raise ValueError(msg)
+        if (self.mode == "rebatch"
+                and getattr(transition, "loop_mode", None) != "fused"):
+            msg = (
+                "TreeDepthCapAdapter(mode='rebatch') requires the "
+                "transition's loop_mode='fused' (depth-tail re-batching "
+                "is only implemented for the fused leaf loop)."
             )
             raise ValueError(msg)
         adapt_state = {
@@ -472,6 +504,20 @@ class TreeDepthCapAdapter(Adapter):
         cum = np.cumsum(counts) / total
         d_q = int(np.argmax(cum >= self.quantile))
         wanted = d_q + 1 + self.margin
+        if self.mode == "rebatch":
+            # Exact depth-tail handling: keep max_tree_depth (no
+            # truncation) and set the re-batching boundary at the tuned
+            # depth — the bulk of chains finish full-width by then and
+            # only the deep tail continues in narrow fixed-slot rounds.
+            # A boundary at/above max_tree_depth has no tail to split:
+            # fall back to the plain path (rebatch_depth=None).
+            boundary = wanted if wanted < transition.max_tree_depth else None
+            if boundary == transition.rebatch_depth:
+                return transition, chain_states
+            return (
+                transition.replace(rebatch_depth=boundary),
+                chain_states,
+            )
         if d_q + 1 >= stage_max and self.grow_back_max is not None:
             # The realized depth distribution is censored at the cap this
             # stage ran under (the quantile depth's +1 doubling headroom

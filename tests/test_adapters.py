@@ -233,6 +233,68 @@ def test_tree_depth_cap_margin_does_not_oscillate():
     assert grown.max_tree_depth == 9
 
 
+def test_tree_depth_rebatch_mode_policy():
+    """mode='rebatch' tunes the re-batching boundary instead of
+    truncating: max_tree_depth is never changed, the boundary lands at
+    the quantile depth + 1 + margin, and a boundary with no tail to
+    split falls back to the plain path (rebatch_depth=None)."""
+    adapter = adapters.TreeDepthCapAdapter(quantile=0.9, mode="rebatch")
+    sampler, _ = _depth_cap_fixture(max_tree_depth=8)
+    transition = sampler.transitions["integration_transition"]
+    counts = np.zeros((2, 9), np.int32)
+    counts[:, 2] = 40
+    counts[:, 3] = 55
+    counts[:, 7] = 5
+    tuned, _ = adapter.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, transition, None)
+    assert tuned.max_tree_depth == 8
+    assert tuned.rebatch_depth == 4
+    # Same histogram again: fixed point, transition returned unchanged.
+    tuned2, _ = adapter.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, tuned, None)
+    assert tuned2 is tuned
+    # Whole distribution at the maximum depth: no tail to split.
+    counts = np.zeros((2, 9), np.int32)
+    counts[:, 8] = 100
+    plain, _ = adapter.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, tuned, None)
+    assert plain.max_tree_depth == 8
+    assert plain.rebatch_depth is None
+
+
+def test_tree_depth_rebatch_mode_validation():
+    with pytest.raises(ValueError, match="mode"):
+        adapters.TreeDepthCapAdapter(mode="nope")
+    with pytest.raises(ValueError, match="grow_back_max"):
+        adapters.TreeDepthCapAdapter(mode="rebatch", grow_back_max=8)
+    # Re-batching needs the fused leaf loop.
+    sampler, _ = _depth_cap_fixture(max_tree_depth=4)
+    transition = sampler.transitions["integration_transition"]
+    doubling = transition.replace(loop_mode="doubling")
+    adapter = adapters.TreeDepthCapAdapter(mode="rebatch")
+    with pytest.raises(ValueError, match="fused"):
+        adapter.initialize(None, doubling)
+
+
+def test_tree_depth_rebatch_mode_end_to_end():
+    """Warm-up with mode='rebatch' sets the re-batching boundary below
+    the unchanged max_tree_depth and sampling stays healthy."""
+    sampler, inits = _depth_cap_fixture(max_tree_depth=8)
+    out = sampler.sample_chains(
+        50, 50, inits,
+        adapters=[adapters.DualAveragingStepSizeAdapter(),
+                  adapters.TreeDepthCapAdapter(mode="rebatch")],
+        display_progress=False)
+    transition = sampler.transitions["integration_transition"]
+    assert transition.max_tree_depth == 8
+    # a 4-D Gaussian with a well-tuned step size U-turns well below 2^8
+    # leapfrog steps, so the tuned boundary must be a real split point
+    assert transition.rebatch_depth is not None
+    assert transition.rebatch_depth < 8
+    assert np.nanmean(out.statistics["accept_stat"]) > 0.5
+    assert np.all(np.isfinite(out.traces["pos"]))
+
+
 def test_tree_depth_cap_requires_dynamic_transition():
     system = systems.EuclideanMetricSystem(lambda q: 0.5 * jnp.sum(q**2))
     integ = integrators.LeapfrogIntegrator(system, 0.5)
