@@ -44,7 +44,7 @@ _SLOW_NODEID_PATTERNS = (
     "test_samplers.py::test_resume_from_final_states",
     "test_samplers.py::test_progress_bar_display",
     "test_samplers.py::test_sample_chains[dynamic",
-    "test_samplers.py::test_sample_chains_rebatch_identical_to_plain",
+    "test_samplers.py::test_sample_chains_rebatch_",
     "test_interface.py::test_sample_constrained",
     "test_interface.py::test_sample_hmc_chains_sampler_classes",
     "test_interface.py::test_sample_hmc_chains_integrator_classes",

@@ -634,3 +634,27 @@ def test_sample_chains_rebatch_identical_to_plain():
     for s_plain, s_rebatch in zip(plain.final_states, rebatch.final_states):
         np.testing.assert_array_equal(
             np.asarray(s_plain.pos), np.asarray(s_rebatch.pos))
+
+
+def test_sample_chains_rebatch_sharded_matches_unsharded():
+    """Depth-tail re-batching under a mesh-sharded chain axis: the
+    argsort-gather/scatter of the continuation rounds crosses device
+    boundaries (XLA inserts the collectives), and results must stay
+    identical to the unsharded re-batched run — and hence to plain
+    execution (test_sample_chains_rebatch_identical_to_plain)."""
+    system, _ = _make_system()
+    outs = []
+    for mesh in (None, parallel.make_chain_mesh()):
+        integ = integrators.LeapfrogIntegrator(system)
+        sampler = samplers.DynamicMultinomialHMC(
+            system, integ, SEED, max_tree_depth=6,
+            rebatch_depth=2, rebatch_slots=4)
+        outs.append(sampler.sample_chains(
+            10, 20, _init_states(8), mesh=mesh, display_progress=False))
+    unsharded, sharded = outs
+    np.testing.assert_allclose(
+        unsharded.traces["pos"], sharded.traces["pos"], atol=1e-8)
+    for key in unsharded.statistics:
+        np.testing.assert_allclose(
+            unsharded.statistics[key], sharded.statistics[key],
+            atol=1e-8, err_msg=key)
