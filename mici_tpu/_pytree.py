@@ -23,17 +23,27 @@ import numpy as np
 from jax import tree_util
 
 
-def _values_equal(a, b, depth=0):
+def _values_equal(a, b, depth=0, _seen=None):
     """Conservative structural equality for closure contents.
 
     Array-aware (compares by value), function-aware (compares code objects
-    and recurses into closures), bounded depth; anything uncertain
-    compares unequal — the failure mode is a retrace, never a wrong cache
-    hit on differing values."""
+    and recurses into closures), pytree-object-aware (compares statics +
+    children structurally), cycle-tolerant (an object pair already under
+    comparison higher in the recursion is treated as equal — coinductive
+    equality, needed because pytree statics can hold bound methods of the
+    object itself), bounded depth; anything uncertain compares unequal —
+    the failure mode is a retrace, never a wrong cache hit on differing
+    values."""
     if a is b:
         return True
-    if depth > 6:
+    if depth > 10:
         return False
+    if _seen is None:
+        _seen = set()
+    pair = (id(a), id(b))
+    if pair in _seen:
+        return True
+    _seen = _seen | {pair}
     if callable(a) and hasattr(a, "__code__"):
         if not (callable(b) and hasattr(b, "__code__")):
             return False
@@ -44,7 +54,7 @@ def _values_equal(a, b, depth=0):
         sa = getattr(a, "__self__", None)
         sb = getattr(b, "__self__", None)
         if (sa is not None or sb is not None) and not _values_equal(
-            sa, sb, depth + 1,
+            sa, sb, depth + 1, _seen,
         ):
             return False
         ca = a.__closure__ or ()
@@ -56,10 +66,11 @@ def _values_equal(a, b, depth=0):
         if len(da) != len(db):
             return False
         return all(
-            _values_equal(x.cell_contents, y.cell_contents, depth + 1)
+            _values_equal(x.cell_contents, y.cell_contents, depth + 1,
+                          _seen)
             for x, y in zip(ca, cb)
         ) and all(
-            _values_equal(x, y, depth + 1) for x, y in zip(da, db)
+            _values_equal(x, y, depth + 1, _seen) for x, y in zip(da, db)
         )
     if hasattr(a, "shape") and hasattr(a, "dtype"):
         if not (hasattr(b, "shape") and hasattr(b, "dtype")):
@@ -68,15 +79,34 @@ def _values_equal(a, b, depth=0):
             return bool(np.array_equal(np.asarray(a), np.asarray(b)))
         except Exception:
             return False
+    if isinstance(a, ValueHashedCallable) or isinstance(
+            b, ValueHashedCallable):
+        fa = a.fn if isinstance(a, ValueHashedCallable) else a
+        fb = b.fn if isinstance(b, ValueHashedCallable) else b
+        return _values_equal(fa, fb, depth + 1, _seen)
     if type(a) is not type(b):
         return False
     if isinstance(a, (tuple, list)):
         return len(a) == len(b) and all(
-            _values_equal(x, y, depth + 1) for x, y in zip(a, b)
+            _values_equal(x, y, depth + 1, _seen) for x, y in zip(a, b)
         )
     if isinstance(a, dict):
         return a.keys() == b.keys() and all(
-            _values_equal(v, b[k], depth + 1) for k, v in a.items()
+            _values_equal(v, b[k], depth + 1, _seen) for k, v in a.items()
+        )
+    if hasattr(type(a), "_pytree_static_fields"):
+        # Framework pytree objects (systems, integrators, operators):
+        # compare structurally — statics (value-hash-wrapped at flatten
+        # time) and array children by value.  This is what makes *bound
+        # methods* of identically configured objects compare equal (e.g.
+        # SoftAbs systems expose their metric as the bound method
+        # `system._hess_only`; without this, every freshly constructed
+        # system missed the jit trace cache and re-paid a ~20 s
+        # stage-program trace — measured, config 3).
+        ca, xa = a.tree_flatten()
+        cb, xb = b.tree_flatten()
+        return _values_equal(xa, xb, depth + 1, _seen) and _values_equal(
+            ca, cb, depth + 1, _seen,
         )
     try:
         return bool(a == b)

@@ -155,3 +155,48 @@ def test_value_hashed_static_functions_share_jit_cache():
     assert len(calls) == n_after_first + 1
     assert float(v_a) == float(v_b)
     assert float(v_a) != float(v_c)
+
+
+def test_bound_method_statics_share_jit_cache():
+    """Systems whose pytree statics hold *bound methods of the system
+    itself* (SoftAbs exposes its metric as ``system._hess_only``) must
+    still compare equal across identically configured instances —
+    structural, cycle-tolerant equality in `_pytree._values_equal`.
+    Regression: without it every fresh SoftAbs system missed the jit
+    trace cache and re-paid a ~20 s stage-program trace (measured,
+    BASELINE config 3 through the driver)."""
+    import jax
+
+    from mici_tpu import systems
+
+    def make(coeff):
+        def nld(q):
+            return 0.5 * (q**2).sum() + 0.25 * (q**4).sum()
+
+        return systems.SoftAbsRiemannianMetricSystem(
+            nld, softabs_coeff=coeff)
+
+    s_a, s_b, s_c = make(1.0), make(1.0), make(2.0)
+    _, aux_a = jax.tree_util.tree_flatten(s_a)
+    _, aux_b = jax.tree_util.tree_flatten(s_b)
+    _, aux_c = jax.tree_util.tree_flatten(s_c)
+    assert aux_a == aux_b
+    assert hash(aux_a) == hash(aux_b)
+    assert aux_a != aux_c
+
+    calls = []
+
+    @jax.jit
+    def h(system, q):
+        calls.append(1)
+        state = system.prepare_state(ChainState(pos=q, mom=q))
+        return system.h(state)
+
+    q = jnp.ones(3)
+    v_a = h(s_a, q)
+    n_after_first = len(calls)
+    v_b = h(s_b, q)           # same configuration: no retrace
+    assert len(calls) == n_after_first
+    h(s_c, q)                 # different softabs coefficient: retrace
+    assert len(calls) == n_after_first + 1
+    assert float(v_a) == float(v_b)
