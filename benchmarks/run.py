@@ -114,18 +114,20 @@ REF_ESS_SETTINGS = {
 #: enough warm-up that every chain is burned in before the ESS window
 #: (the banana/torus configs start all chains near the origin).
 BENCH_ROW_SETTINGS = {
-    # 4096 chains + a longer window: config 1's per-iteration device work
-    # is tiny, so at 1024 chains the sub-second wall is dominated by
-    # per-call dispatch jitter on the dev backend (observed 2x run-to-run
-    # swings); 4096 chains amortize it and the reference core cannot
-    # batch.
-    1: {"n_chain": 4096, "n_warm": 50, "n_main": 300},
-    2: {"n_chain": 1024, "n_warm": 200, "n_main": 300},
+    # 4096 chains + long windows: the Euclidean configs' per-iteration
+    # device work is tiny, so short rows are dominated by per-call
+    # dispatch/transfer latency on the remote-tunneled dev backend
+    # (measured: an identical config-1 row swung 3.0 s <-> 9.9 s wall
+    # across chip windows, 3x on the recorded ratio).  Longer windows
+    # amortize the fixed latency so the row measures the kernel, not
+    # the tunnel; the reference core cannot batch either way.
+    1: {"n_chain": 4096, "n_warm": 50, "n_main": 1200},
+    2: {"n_chain": 1024, "n_warm": 200, "n_main": 900},
     # exact stationary init -> warm-up only separates program warm from
     # the measured window
     3: {"n_chain": 1024, "n_warm": 16, "n_main": 384},
     4: {"n_chain": 1024, "n_warm": 100, "n_main": 200},
-    5: {"n_chain": 4096, "n_warm": 50, "n_main": 150},
+    5: {"n_chain": 4096, "n_warm": 50, "n_main": 450},
 }
 
 
