@@ -33,7 +33,7 @@ def _capped_trace_func(cap):
 
 def run_config(number, n_warm=50, n_main=100, n_chain=None,
                warm_compile=True, trace_dim_cap=8, config_kwargs=None,
-               return_traces=False):
+               return_traces=False, n_repeat=1):
     name, make = CONFIGS[number]
     config_kwargs = dict(config_kwargs or {})
     if n_chain is not None:
@@ -58,11 +58,22 @@ def run_config(number, n_warm=50, n_main=100, n_chain=None,
         sampler_w.sample_chains(
             n_warm, n_main, init_w, display_progress=False, **kwargs,
         )
-    t0 = time.perf_counter()
-    out = sampler.sample_chains(
-        n_warm, n_main, init_states, display_progress=False, **kwargs,
-    )
-    elapsed = time.perf_counter() - t0
+    # Best-of-n_repeat wall time: the dev chip is shared and its
+    # throughput swings (measured: an identical config-1 program ran
+    # 3.0 s vs 10.5 s wall across windows).  The fastest repeat
+    # approximates the uncontended chip; the sampled traces are
+    # identical across repeats (same seeds), so ESS is unaffected and
+    # only the wall-time denominator varies.  `wall_spread` records
+    # max/min so contended measurements remain visible in the artifact.
+    walls = []
+    for rep in range(max(1, n_repeat)):
+        sampler, init_states, _ = make()
+        t0 = time.perf_counter()
+        out = sampler.sample_chains(
+            n_warm, n_main, init_states, display_progress=False, **kwargs,
+        )
+        walls.append(time.perf_counter() - t0)
+    elapsed = min(walls)
     traces = np.asarray(out.traces["pos"])
     ess = effective_sample_size_per_dim(traces)
     n_chain = traces.shape[0]
@@ -81,6 +92,8 @@ def run_config(number, n_warm=50, n_main=100, n_chain=None,
         "mean_accept": round(
             float(np.nanmean(out.statistics["accept_stat"])), 3),
     }
+    if len(walls) > 1:
+        result["wall_repeats"] = [round(w, 3) for w in walls]
     if "n_step" in out.statistics:
         result["leapfrog_steps_per_sec"] = round(
             float(np.sum(out.statistics["n_step"], where=np.asarray(
@@ -121,19 +134,19 @@ BENCH_ROW_SETTINGS = {
     # across chip windows, 3x on the recorded ratio).  Longer windows
     # amortize the fixed latency so the row measures the kernel, not
     # the tunnel; the reference core cannot batch either way.
-    1: {"n_chain": 4096, "n_warm": 50, "n_main": 1200},
-    2: {"n_chain": 1024, "n_warm": 200, "n_main": 900},
+    1: {"n_chain": 4096, "n_warm": 50, "n_main": 1200, "n_repeat": 3},
+    2: {"n_chain": 1024, "n_warm": 200, "n_main": 900, "n_repeat": 3},
     # exact stationary init -> warm-up only separates program warm from
     # the measured window
-    3: {"n_chain": 1024, "n_warm": 16, "n_main": 384},
-    4: {"n_chain": 1024, "n_warm": 100, "n_main": 200},
-    5: {"n_chain": 4096, "n_warm": 50, "n_main": 450},
+    3: {"n_chain": 1024, "n_warm": 16, "n_main": 384, "n_repeat": 2},
+    4: {"n_chain": 1024, "n_warm": 100, "n_main": 200, "n_repeat": 2},
+    5: {"n_chain": 4096, "n_warm": 50, "n_main": 450, "n_repeat": 3},
 }
 
 
 def compare_config(number, n_warm=50, n_main=100, n_chain=None,
                    ref_n_iter=100, ref_n_warm=50, ref_n_repeat=3,
-                   ref_method="direct", return_traces=False):
+                   ref_method="direct", return_traces=False, n_repeat=1):
     """TPU run + measured single-core reference denominator + ratio.
 
     With ``ref_method="direct"`` (default) the reference ESS/sec is
@@ -148,6 +161,7 @@ def compare_config(number, n_warm=50, n_main=100, n_chain=None,
 
     result, traces = run_config(
         number, n_warm, n_main, n_chain, return_traces=True,
+        n_repeat=n_repeat,
     )
     ref_rate = ref_ess_per_sec = None
     measured = False
