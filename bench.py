@@ -156,6 +156,37 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def measure_chip_probe(n_iter=400, size=256, batch=1024):
+    """Fixed-kernel chip-state probe (ROADMAP round-4 #3).
+
+    The shared dev chip's effective throughput swings 2-3x across
+    windows (identical compiled programs measured 3.0 s vs 10.5 s an
+    hour apart), so the artifact records a standard kernel's rate at
+    the start and end of the run: a scan of ``n_iter`` batched
+    (batch x size) @ (size x size) matmul+tanh steps.  Ratios can then
+    be read against the window the measurement landed in.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (size, size),
+                          jnp.float32) / np.sqrt(size)
+
+    @jax.jit
+    def probe(x):
+        def body(c, _):
+            return jnp.tanh(c @ w), None
+
+        return jax.lax.scan(body, x, None, length=n_iter)[0]
+
+    x = jnp.ones((batch, size), jnp.float32)
+    np.asarray(probe(x)[:1, :1])  # compile + execute once
+    t0 = time.perf_counter()
+    np.asarray(probe(x)[:1, :1])
+    dt = time.perf_counter() - t0
+    return round(n_iter / dt, 1)
+
+
 def run_config_rows(torus_traces_out):
     """All five BASELINE configs through the generic driver + measured
     reference denominators (VERDICT round-2 item 2).
@@ -211,6 +242,8 @@ def run_moment_validation(banana_traces, torus_traces):
 
 def main():
     headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
+    probe_start = measure_chip_probe()
+    _log(f"chip probe (start): {probe_start} matmul-steps/s")
     tpu, banana_traces = run_tpu_benchmark()
     _log(
         f"tpu headline: {tpu['chain_iters_per_sec']:.0f} chain-iters/s, "
@@ -252,6 +285,8 @@ def main():
     )
 
     moment_validation = run_moment_validation(banana_traces, torus_traces)
+    probe_end = measure_chip_probe()
+    _log(f"chip probe (end): {probe_end} matmul-steps/s")
 
     print(json.dumps({
         "metric": "softabs_rmhmc_banana_ess_per_sec_1024_chains",
@@ -259,6 +294,9 @@ def main():
         "unit": "ESS/s (mean over dims, 1024 chains, TPU chip)",
         "vs_baseline": round(vs_baseline, 1),
         "ref_ess_method": method,
+        "chip_probe_steps_per_sec": {
+            "start": probe_start, "end": probe_end,
+        },
         "configs": configs_rows,
         "moment_validation": moment_validation,
     }))
