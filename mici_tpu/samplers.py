@@ -1075,6 +1075,26 @@ class HamiltonianMonteCarlo(MarkovChainMonteCarloMethod):
             ]
         if "adapters" not in kwargs:
             kwargs["adapters"] = [DualAveragingStepSizeAdapter()]
+            # TPU-native default beyond the reference list: for dynamic
+            # (NUTS) transitions under the fused leaf loop, tune the
+            # depth-tail re-batching boundary from the warm-up depth
+            # histogram.  Statistically invisible — per-chain decisions
+            # are bit-identical to plain vmapped execution (tested) —
+            # and compile-free in the standard flows (warm and main
+            # stage programs differ anyway), while removing the deep
+            # tree tail's lockstep tax on funnel-like geometry
+            # (docs/BENCHMARKS.md round-3 depth-tail study).  Users
+            # passing an explicit ``adapters`` list (including the
+            # reference-default ``[DualAveragingStepSizeAdapter()]``)
+            # get exactly what they asked for.
+            transition = self.transitions["integration_transition"]
+            if (getattr(transition, "max_tree_depth", None) is not None
+                    and getattr(transition, "loop_mode", None) == "fused"
+                    and getattr(transition, "rebatch_depth", None) is None):
+                from mici_tpu.adapters import TreeDepthCapAdapter
+
+                kwargs["adapters"].append(
+                    TreeDepthCapAdapter(mode="rebatch"))
         if "trace_funcs" not in kwargs:
             kwargs["trace_funcs"] = [self._default_trace_func]
         if "monitor_stats" in kwargs:

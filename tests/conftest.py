@@ -52,6 +52,7 @@ _SLOW_NODEID_PATTERNS = (
     "test_interface.py::test_sample_hmc_chains[1-2",
     "test_solvers.py::test_acceleration_reduces_iterations",
     "test_robustness.py::test_riemannian_singular_metric_region",
+    "test_adapters.py::test_default_adapters_include_rebatch_tuning",
     "test_adapters.py::test_tree_depth_cap_end_to_end",
     "test_adapters.py::test_tree_depth_rebatch_mode_end_to_end",
     "test_api_behaviors.py::test_sampler_rng_coercions",

@@ -295,6 +295,38 @@ def test_tree_depth_rebatch_mode_end_to_end():
     assert np.all(np.isfinite(out.traces["pos"]))
 
 
+def test_default_adapters_include_rebatch_tuning_invisibly():
+    """Dynamic NUTS samplers' *default* adapter list appends
+    TreeDepthCapAdapter(mode='rebatch') (TPU-native, beyond the
+    reference defaults) — and it must be statistically invisible:
+    traces bit-identical to the explicit reference-default list."""
+    sampler_default, inits = _depth_cap_fixture(max_tree_depth=8)
+    out_default = sampler_default.sample_chains(
+        30, 30, inits, display_progress=False)
+    tr = sampler_default.transitions["integration_transition"]
+    # tuning happened (boundary set below the untouched max depth)
+    assert tr.max_tree_depth == 8
+    assert tr.rebatch_depth is not None and tr.rebatch_depth < 8
+
+    sampler_ref, inits2 = _depth_cap_fixture(max_tree_depth=8)
+    out_ref = sampler_ref.sample_chains(
+        30, 30, inits2, display_progress=False,
+        adapters=[adapters.DualAveragingStepSizeAdapter()])
+    np.testing.assert_array_equal(
+        out_default.traces["pos"], out_ref.traces["pos"])
+    np.testing.assert_array_equal(
+        np.asarray(out_default.statistics["accept_stat"]),
+        np.asarray(out_ref.statistics["accept_stat"]))
+
+    # Static (non-dynamic) samplers keep the reference default list.
+    system = systems.EuclideanMetricSystem(lambda q: 0.5 * jnp.sum(q**2))
+    integ = integrators.LeapfrogIntegrator(system)
+    static = samplers.StaticMetropolisHMC(system, integ, 0, n_step=4)
+    out = static.sample_chains(
+        5, 5, [np.zeros(3) + 0.1], display_progress=False)
+    assert np.all(np.isfinite(out.traces["pos"]))
+
+
 def test_tree_depth_cap_requires_dynamic_transition():
     system = systems.EuclideanMetricSystem(lambda q: 0.5 * jnp.sum(q**2))
     integ = integrators.LeapfrogIntegrator(system, 0.5)
