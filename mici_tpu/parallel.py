@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 CHAIN_AXIS = "chains"
 SLICE_AXIS = "slice"
+MODEL_AXIS = "model"
 
 
 def make_chain_mesh(n_devices=None, devices=None):
@@ -79,14 +80,80 @@ def make_slice_chain_mesh(n_slices, n_devices_per_slice=None, devices=None):
     )
 
 
+def make_chain_model_mesh(n_chain_devices, n_model_devices=None,
+                          devices=None):
+    """Create a two-level ``("chains", "model")`` device mesh.
+
+    For very high-dimensional targets the per-chain state vectors
+    themselves are sharded: the chain batch is data-parallel over the
+    ``chains`` axis while each chain's position/momentum vectors (and any
+    per-chain matrices) span the ``model`` axis — XLA inserts the
+    reductions for density/gradient dot products and the U-turn criteria
+    automatically (tensor parallelism in the scaling-book sense, with
+    chains as the data axis).  No reference analogue (the reference holds
+    each chain's state on one process); SURVEY.md §2.3 / §5 names sharded
+    state vectors as the TPU-native design target for the
+    very-high-dimension regime.
+
+    Args:
+        n_chain_devices: Devices along the chain (data) axis.
+        n_model_devices: Devices along the model (state-vector) axis.
+            Default: all remaining available devices.
+        devices: Explicit device list in chain-major order.
+
+    Returns:
+        ``jax.sharding.Mesh`` with axes ``("chains", "model")``.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_model_devices is not None:
+            devices = devices[: n_chain_devices * n_model_devices]
+    devices = np.asarray(devices)
+    if devices.size % n_chain_devices != 0:
+        msg = (
+            f"Number of devices ({devices.size}) is not divisible by "
+            f"n_chain_devices ({n_chain_devices})."
+        )
+        raise ValueError(msg)
+    return Mesh(
+        devices.reshape(n_chain_devices, -1), (CHAIN_AXIS, MODEL_AXIS),
+    )
+
+
+def _chain_axis_names(mesh):
+    """Mesh axes the chain (leading batch) axis is sharded over."""
+    return tuple(n for n in mesh.axis_names if n != MODEL_AXIS)
+
+
 def chain_sharding(mesh):
     """NamedSharding placing the leading (chain) axis over the mesh.
 
     For a two-level ``("slice", "chains")`` mesh the chain axis is sharded
     over *both* mesh axes (slice-major), so the flat chain batch spans all
-    devices while collectives stay hierarchical.
+    devices while collectives stay hierarchical.  For a
+    ``("chains", "model")`` mesh only the ``chains`` axis is used (the
+    ``model`` axis shards trailing state dimensions; see
+    :func:`state_sharding`).
     """
-    return NamedSharding(mesh, PartitionSpec(mesh.axis_names))
+    return NamedSharding(mesh, PartitionSpec(_chain_axis_names(mesh)))
+
+
+def state_sharding(mesh, ndim, trailing_size=None):
+    """NamedSharding for a chain-batched state array on a model mesh.
+
+    Leading axis over the chain axes; the *last* axis over ``model`` when
+    the mesh has a model axis and ``trailing_size`` divides evenly
+    (replicated otherwise — e.g. PRNG key pairs or dimensions that don't
+    tile).  Intermediate axes are replicated; XLA's sharding propagation
+    decides internal layouts from these input placements.
+    """
+    chain_axes = _chain_axis_names(mesh)
+    if (MODEL_AXIS not in mesh.axis_names or ndim < 2
+            or (trailing_size is not None
+                and trailing_size % mesh.shape[MODEL_AXIS] != 0)):
+        return NamedSharding(mesh, PartitionSpec(chain_axes))
+    spec = [chain_axes] + [None] * (ndim - 2) + [MODEL_AXIS]
+    return NamedSharding(mesh, PartitionSpec(*spec))
 
 
 def replicated_sharding(mesh):
@@ -96,15 +163,24 @@ def replicated_sharding(mesh):
 
 def shard_chain_axis(tree, mesh):
     """Place every array in a chain-batched pytree with its leading axis
-    sharded over the mesh's ``chains`` axis.
+    sharded over the mesh's chain axes — and, on a ``("chains", "model")``
+    mesh, its trailing (state) axis over ``model`` where it tiles evenly.
 
-    The number of chains (leading axis size) must be divisible by the mesh
-    size.
+    The number of chains (leading axis size) must be divisible by the
+    product of the chain mesh axes.
     """
-    sharding = chain_sharding(mesh)
+    if MODEL_AXIS in mesh.axis_names:
+        def put(x):
+            x = np.asarray(x) if not hasattr(x, "ndim") else x
+            return jax.device_put(
+                x, state_sharding(mesh, x.ndim, x.shape[-1] if x.ndim
+                                  else None),
+            )
+    else:
+        sharding = chain_sharding(mesh)
 
-    def put(x):
-        return jax.device_put(x, sharding)
+        def put(x):
+            return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, tree)
 

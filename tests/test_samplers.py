@@ -219,6 +219,38 @@ def test_sharded_chains_match_unsharded():
     )
 
 
+def test_sharded_model_axis_matches_unsharded():
+    """("chains", "model") mesh: the chain batch is data-parallel while
+    each chain's state vectors span the model axis (sharded state
+    vectors for very high-dimensional targets, SURVEY §2.3/§5).  XLA
+    inserts the dot-product reductions; results must match unsharded
+    execution up to summation order."""
+    dim = 8  # must tile over the 4-device model axis to engage sharding
+    rng = np.random.default_rng(SEED)
+    a = rng.standard_normal((dim, dim))
+    prec = jnp.asarray(np.linalg.inv(a @ a.T + dim * np.eye(dim)))
+
+    def nld(q):
+        return 0.5 * q @ (prec @ q)
+
+    system = systems.EuclideanMetricSystem(nld)
+    inits = [np.random.default_rng(i).standard_normal(dim)
+             for i in range(8)]
+    outs = []
+    for mesh in (None, parallel.make_chain_model_mesh(2, 4)):
+        integ = integrators.LeapfrogIntegrator(system)
+        sampler = samplers.DynamicMultinomialHMC(
+            system, integ, SEED, max_tree_depth=6)
+        outs.append(sampler.sample_chains(
+            15, 25, list(inits), mesh=mesh, display_progress=False))
+    unsharded, sharded = outs
+    np.testing.assert_allclose(
+        unsharded.traces["pos"], sharded.traces["pos"], atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(unsharded.statistics["accept_stat"]),
+        np.asarray(sharded.statistics["accept_stat"]), atol=1e-8)
+
+
 def test_sharded_chains_two_level_mesh_with_adapter_reductions():
     """Multi-slice execution: sampling over a ("slice", "chains") 2x4 mesh
     with windowed metric adaptation (cross-chain Welford reductions at
