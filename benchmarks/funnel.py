@@ -31,6 +31,10 @@ ESS loss.
 
 Usage: python -m benchmarks.funnel [--n-chain N] [--n-main N]
 Prints one JSON row per variant; record results in docs/BENCHMARKS.md.
+Note: each variant runs its full workload twice — once untimed to
+compile the exact programs of the timed shape (the stage iteration
+count is compiled-in), once timed — so total chip time is ~2x the sum
+of the reported ``wall_s`` values.
 """
 
 from __future__ import annotations

@@ -72,6 +72,12 @@ def run_headline_kernel(n_chain=N_CHAIN, n_warm=N_WARM, n_main=N_MAIN,
     from mici_tpu.states import ChainState
 
     extra_stats = tuple(extra_stats)
+    # The chunked loops execute whole chunks; round the warm/main
+    # iteration counts to the executed multiples so every reported
+    # metric divides by what actually ran (and tiny n_main still runs).
+    chunk = max(1, min(chunk, n_main))
+    n_warm -= n_warm % chunk
+    n_main -= n_main % chunk
     system = systems.SoftAbsRiemannianMetricSystem(
         banana_neg_log_dens, softabs_coeff=softabs_coeff)
     integrator_kwargs = {
@@ -151,6 +157,8 @@ def run_headline_kernel(n_chain=N_CHAIN, n_warm=N_WARM, n_main=N_MAIN,
     ])
     mean_ess = float(ess.mean())
     metrics = {
+        "n_warm": n_warm,
+        "n_main": n_main,
         "elapsed": elapsed,
         "ess_total_mean_dim": mean_ess,
         "ess_per_sec": mean_ess / elapsed,

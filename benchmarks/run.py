@@ -39,7 +39,9 @@ def run_config(number, n_warm=50, n_main=100, n_chain=None,
     if n_chain is not None:
         config_kwargs["n_chain"] = n_chain
     make = functools.partial(make, **config_kwargs)
-    sampler, init_states, kwargs = make()
+    # First construction serves double duty: it supplies kwargs and is
+    # the warm-compile run's sampler; the timed repeats build fresh ones.
+    sampler_w, init_w, kwargs = make()
     if trace_dim_cap is not None:
         # Trace at most the first `trace_dim_cap` position dimensions:
         # per-dim ESS statistics are unchanged, but the device-to-host
@@ -54,7 +56,6 @@ def run_config(number, n_warm=50, n_main=100, n_chain=None,
         # a one-off cost in production use).  A fresh sampler of the same
         # configuration reuses the compiled stage programs (the jitted
         # engine is module-level and transitions hash by structure).
-        sampler_w, init_w, _ = make()
         sampler_w.sample_chains(
             n_warm, n_main, init_w, display_progress=False, **kwargs,
         )

@@ -50,7 +50,7 @@ def run_solver_variant(label, solver, n_chain=1024, n_main=192):
     return {
         "solver": label,
         "n_chain": n_chain,
-        "n_main": n_main,
+        "n_main": metrics["n_main"],
         "wall_s": round(metrics["elapsed"], 2),
         "chain_iters_per_sec": round(metrics["chain_iters_per_sec"], 1),
         "ess_per_sec": round(metrics["ess_per_sec"], 2),

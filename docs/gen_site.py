@@ -173,11 +173,18 @@ def _signature(obj):
         sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
-    # Callable defaults repr as "<function name at 0x7f...>", which embeds
-    # a per-process memory address — regenerating the site would then dirty
-    # every page containing one.  Rewrite to the stable qualified name.
+    # Callable defaults repr as "<function name at 0x7f...>" or
+    # "<bound method Cls.meth of <pkg.Cls object at 0x7f...>>", which
+    # embeds a per-process memory address — regenerating the site would
+    # then dirty every page containing one.  Rewrite to the stable
+    # qualified name.
+    sig = re.sub(
+        r"<bound method ([\w.<>]+) of [^>]*(?:>[^>]*)*?>>",
+        r"\1",
+        sig,
+    )
     return re.sub(
-        r"<(?:function|built-in function|bound method) ([\w.<>]+)"
+        r"<(?:function|built-in function) ([\w.<>]+)"
         r"(?: at 0x[0-9a-f]+)?>",
         r"\1",
         sig,

@@ -518,16 +518,19 @@ class TreeDepthCapAdapter(Adapter):
                 transition.replace(rebatch_depth=boundary),
                 chain_states,
             )
-        if d_q + 1 >= stage_max and self.grow_back_max is not None:
-            # The realized depth distribution is censored at the cap this
-            # stage ran under (the quantile depth's +1 doubling headroom
-            # reaches the maximum observable depth), so deeper trees may
-            # have been truncated: grow back one notch (a capped window
-            # cannot observe deeper trees, so growth must be incremental).
-            # The censoring test deliberately excludes ``margin`` — margin
-            # is user headroom, not evidence of truncation, and including
-            # it would oscillate the cap (and recompile the stage program)
-            # every window whenever ``d_q + 1 + margin`` straddles the cap.
+        if d_q >= stage_max and self.grow_back_max is not None:
+            # The quantile depth sits in the cap bucket itself: trees
+            # recorded at ``stage_max`` are exactly the (possibly)
+            # truncated ones — a tree that U-turns naturally below the
+            # cap records its natural depth, so quantile mass *at* the
+            # cap is the only evidence of censoring.  Grow back one
+            # notch (a capped window cannot observe deeper trees, so
+            # growth must be incremental).  The test deliberately
+            # excludes ``margin`` (user headroom, not truncation
+            # evidence) and quantile depths *below* the cap (nothing
+            # was truncated if no quantile mass reached the cap) —
+            # either would oscillate the cap, and recompile the stage
+            # program, every window.
             new_cap = min(self.grow_back_max, stage_max + 1)
         else:
             new_cap = min(stage_max, wanted)

@@ -172,9 +172,19 @@ def shard_chain_axis(tree, mesh):
     if MODEL_AXIS in mesh.axis_names:
         def put(x):
             x = np.asarray(x) if not hasattr(x, "ndim") else x
+            # Only floating-point leaves are state vectors; integer /
+            # key leaves (PRNG keys are uint32 pairs, flags, counters)
+            # stay chain-sharded-and-replicated — splitting a key's two
+            # 32-bit words across devices would force a gather before
+            # every jax.random op in the hot loop.
+            is_state = x.ndim >= 2 and jax.numpy.issubdtype(
+                x.dtype, jax.numpy.floating)
             return jax.device_put(
-                x, state_sharding(mesh, x.ndim, x.shape[-1] if x.ndim
-                                  else None),
+                x, state_sharding(mesh, x.ndim,
+                                  x.shape[-1] if is_state else None
+                                  ) if is_state
+                else NamedSharding(mesh,
+                                   PartitionSpec(_chain_axis_names(mesh))),
             )
     else:
         sharding = chain_sharding(mesh)

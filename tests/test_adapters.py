@@ -225,9 +225,19 @@ def test_tree_depth_cap_margin_does_not_oscillate():
     kept2, _ = adapter.finalize(
         {"depth_counts": jnp.asarray(counts)}, None, kept, None)
     assert kept2.max_tree_depth == 8
-    # Genuine censoring (quantile depth at the cap boundary) still grows.
+    # Quantile mass just below the cap (natural U-turns at depth 7, no
+    # tree recorded at the cap bucket): nothing was truncated, so the
+    # cap must be kept — growing here would oscillate 8 <-> 9 every
+    # window (regression #2).
     counts = np.zeros((2, 9), np.int32)
     counts[:, 7] = 100
+    kept3, _ = adapter.finalize(
+        {"depth_counts": jnp.asarray(counts)}, None, kept, None)
+    assert kept3.max_tree_depth == 8
+    # Genuine censoring — quantile mass in the cap bucket itself (the
+    # possibly-truncated trees) — still grows one notch.
+    counts = np.zeros((2, 9), np.int32)
+    counts[:, 8] = 100
     grown, _ = adapter.finalize(
         {"depth_counts": jnp.asarray(counts)}, None, kept, None)
     assert grown.max_tree_depth == 9
