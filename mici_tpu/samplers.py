@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import math
 import warnings
 from pathlib import Path
 
@@ -234,6 +235,62 @@ def _propagate_system(transitions, system):
 # ---------------------------------------------------------------------------
 # Compiled stage engine
 # ---------------------------------------------------------------------------
+
+
+def _auto_stage_chunks(sampling_stages):
+    """Pick per-stage chunk lengths that maximize compiled-program reuse.
+
+    ``_run_stage_chunk`` specializes on the static chunk length
+    (``n_iter``), so a windowed warm up (Stan-style stage lengths
+    25/50/100/200/... , mici/stagers.py:237-255) would otherwise compile
+    one stage program per window even though every slow window shares the
+    same transitions, adapters and trace functions — at real-hardware
+    compile times that multiplies warm-up latency by the window count.
+
+    Stages are grouped by their compile signature (the adapter and
+    trace-function statics); within a group holding more than one
+    distinct length, every stage runs in chunks of the group gcd (or of
+    the shortest stage length when the gcd is degenerate, leaving at most
+    one short remainder chunk per stage), collapsing the group to one or
+    two compiled programs.  Chunking a scan is bit-exact: the chunked
+    chunks thread the identical carry through the identical iteration
+    body.  Single-stage groups (e.g. the main stage) keep whole-stage
+    chunks, adding no host round trips on the hot path.
+
+    Returns a dict mapping stage label to its chunk length; stages absent
+    from the dict run as a single chunk.
+    """
+    groups = {}
+    for label, stage in sampling_stages.items():
+        adapters_key = tuple(
+            (k, tuple(v)) for k, v in (stage.adapters or {}).items() if v
+        )
+        trace_key = (
+            None if stage.trace_funcs is None else tuple(stage.trace_funcs)
+        )
+        try:
+            groups.setdefault(
+                (adapters_key, trace_key, bool(stage.record_stats)), [],
+            ).append((label, stage.n_iter))
+        except TypeError:  # unhashable user adapter/trace func: no grouping
+            return {}
+    chunks = {}
+    for members in groups.values():
+        lengths = sorted({n for _, n in members if n > 0})
+        if len(lengths) < 2:
+            continue
+        divisor = math.gcd(*lengths)
+        shortest = lengths[0]
+        # Use the gcd when it keeps dispatch count within ~4x of chunking
+        # by the shortest stage; otherwise chunk by the shortest stage and
+        # let the existing remainder handling compile the (few, short)
+        # leftover chunk lengths.
+        chunk = (
+            divisor if divisor >= 4 and 4 * divisor >= shortest else shortest
+        )
+        for label, _ in members:
+            chunks[label] = chunk
+    return chunks
 
 
 @functools.partial(
@@ -528,7 +585,12 @@ class MarkovChainMonteCarloMethod:
             display_progress: Whether to display progress bars.
             progress_bar_class: Class for per-stage progress bar.
             chunk_size: Number of iterations per compiled chunk; bounds
-                device memory for traces.  None runs each stage as a single
+                device memory for traces.  None picks chunk lengths
+                automatically so that warm-up stages sharing the same
+                transitions/adapters/trace functions reuse one compiled
+                program (windowed warm up would otherwise compile one
+                stage program per window length); stages with a unique
+                compile signature (e.g. the main stage) run as a single
                 chunk.
             mesh: Optional ``jax.sharding.Mesh`` with a ``chains`` axis
                 (see :func:`mici_tpu.parallel.make_chain_mesh`).  When
@@ -709,6 +771,9 @@ class MarkovChainMonteCarloMethod:
 
         trans_keys = tuple(self.transitions)
         transitions = dict(self.transitions)
+        auto_chunks = (
+            _auto_stage_chunks(sampling_stages) if chunk_size is None else {}
+        )
         sampling_index_offset = 0
         trace_index_offset = 0
         interrupted = False
@@ -743,8 +808,11 @@ class MarkovChainMonteCarloMethod:
                 record = stage.record_stats or stage_trace_funcs is not None
 
                 n_remaining = stage.n_iter
-                chunk = (stage.n_iter if chunk_size is None
-                         else min(chunk_size, stage.n_iter))
+                base_chunk = (
+                    auto_chunks.get(label, stage.n_iter)
+                    if chunk_size is None else chunk_size
+                )
+                chunk = min(base_chunk, stage.n_iter)
                 if trace_thin > 1:
                     # Align chunk boundaries to thin-blocks so thinned
                     # trace rows stay contiguous across chunks.
