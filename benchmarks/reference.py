@@ -246,7 +246,8 @@ N_WARM, N_MAIN = %(n_warm)d, %(n_iter)d
 
 
 def measure_reference_ess(config, n_iter=400, n_warm=50, timeout=900,
-                          n_repeat=2, trace_dim_cap=8, n_chain=4):
+                          n_repeat=2, trace_dim_cap=8, n_chain=4,
+                          return_traces=False):
     """Directly measured reference ESS/sec from the reference's traces.
 
     Runs the reference configuration in a subprocess with its position
@@ -257,6 +258,11 @@ def measure_reference_ess(config, n_iter=400, n_warm=50, timeout=900,
 
     Returns ``(iters_per_sec, ess_per_sec, measured)`` — medians over
     ``n_repeat`` runs, or ``(None, None, False)`` if every run failed.
+    With ``return_traces=True`` a fourth element carries the reference
+    position traces, shape ``(n_chain, n_iter, trace_dim_cap)`` (repeats
+    run identical seeds, so any repeat's traces serve) — the
+    statistical oracle for adaptive configs with no closed-form moments
+    (benchmarks/oracles.py:check_moments_vs_reference).
     """
     import tempfile
 
@@ -265,6 +271,7 @@ def measure_reference_ess(config, n_iter=400, n_warm=50, timeout=900,
     script_body = (REFERENCE_SCRIPTS[config]
                    % {"n_iter": n_iter, "n_warm": n_warm})
     rates, ess_rates = [], []
+    saved_traces = None
     for _ in range(n_repeat):
         with tempfile.NamedTemporaryFile(suffix=".npy") as tmp:
             header = (f"TRACE_PATH = {tmp.name!r}\n"
@@ -292,11 +299,14 @@ def measure_reference_ess(config, n_iter=400, n_warm=50, timeout=900,
                 ])
                 rates.append(rate)
                 ess_rates.append(float(ess.mean()) / wall)
+                saved_traces = traces
             except (subprocess.TimeoutExpired, OSError):
                 pass
     if rates:
-        return float(np.median(rates)), float(np.median(ess_rates)), True
-    return None, None, False
+        out = (float(np.median(rates)), float(np.median(ess_rates)), True)
+    else:
+        out = (None, None, False)
+    return (*out, saved_traces) if return_traces else out
 
 
 def measure_reference(config, n_iter=100, n_warm=50, timeout=600,

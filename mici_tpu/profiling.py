@@ -13,11 +13,17 @@ determined at trace time, so the TPU-native equivalents are:
   do);
 * :func:`compiled_cost` — XLA's cost analysis (FLOPs, bytes accessed) of a
   compiled function, the hardware-level analogue of call counting.
+* :func:`compile_telemetry` — record XLA compile counts and seconds over a
+  region via ``jax.monitoring`` events, so compile-time regressions (e.g.
+  an unexpected retrace of a stage program) are visible in benchmark
+  artifacts instead of rediscovered by hand.
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 
 import jax
 
@@ -72,3 +78,91 @@ def compiled_cost(fn, *example_args, static_argnums=()):
     if isinstance(analysis, list):
         analysis = analysis[0] if analysis else {}
     return dict(analysis or {})
+
+
+# ---------------------------------------------------------------------------
+# Compile telemetry (jax.monitoring event recording)
+# ---------------------------------------------------------------------------
+
+#: Event emitted once per XLA executable build (a trace-cache miss at the
+#: executable level); trace events fire on every abstract trace.
+_COMPILE_EVENT = "/jax/core/compile/backend_compile_duration"
+_TRACE_EVENT = "/jax/core/compile/jaxpr_trace_duration"
+
+_events_lock = threading.Lock()
+_events: list[tuple[str, float]] = []
+_listener_registered = False
+
+
+def _ensure_listener():
+    # jax.monitoring listeners cannot be unregistered, so register one
+    # module-level recorder on first use and let telemetry regions
+    # snapshot index ranges of the shared event list.
+    global _listener_registered
+    with _events_lock:
+        if _listener_registered:
+            return
+        _listener_registered = True
+
+    def record(name, duration, **_kwargs):
+        if name in (_COMPILE_EVENT, _TRACE_EVENT):
+            with _events_lock:
+                _events.append((name, float(duration)))
+
+    jax.monitoring.register_event_duration_secs_listener(record)
+
+
+class CompileTelemetry:
+    """Summary of XLA compile activity inside a telemetry region.
+
+    Attributes (populated when the region closes):
+        n_compiles: Number of XLA executable builds (trace-cache misses).
+        compile_seconds_total / compile_seconds_max: Backend compile time.
+        n_traces: Number of jaxpr traces (includes nested sub-traces).
+    """
+
+    def __init__(self):
+        self.n_compiles = 0
+        self.compile_seconds_total = 0.0
+        self.compile_seconds_max = 0.0
+        self.n_traces = 0
+
+    def _absorb(self, events):
+        for name, duration in events:
+            if name == _COMPILE_EVENT:
+                self.n_compiles += 1
+                self.compile_seconds_total += duration
+                self.compile_seconds_max = max(
+                    self.compile_seconds_max, duration,
+                )
+            else:
+                self.n_traces += 1
+
+    def summary(self):
+        """JSON-ready dict of the recorded compile activity."""
+        return {
+            "n_compiles": self.n_compiles,
+            "compile_seconds_total": round(self.compile_seconds_total, 2),
+            "compile_seconds_max": round(self.compile_seconds_max, 2),
+            "n_traces": self.n_traces,
+        }
+
+
+@contextlib.contextmanager
+def compile_telemetry():
+    """Context manager recording XLA compile counts/seconds in the region.
+
+    Yields a :class:`CompileTelemetry` whose fields are populated when the
+    region exits.  Nested/concurrent regions each see every event recorded
+    while they are open (the event stream is global to the process).
+    """
+    _ensure_listener()
+    with _events_lock:
+        start = len(_events)
+    telemetry = CompileTelemetry()
+    try:
+        yield telemetry
+    finally:
+        with _events_lock:
+            events = list(_events[start:])
+        telemetry._absorb(events)

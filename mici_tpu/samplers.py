@@ -237,7 +237,13 @@ def _propagate_system(transitions, system):
 # ---------------------------------------------------------------------------
 
 
-def _auto_stage_chunks(sampling_stages):
+#: Minimum auto-picked group chunk length: below this the per-chunk host
+#: round trips and remainder-length compiles outweigh the reuse benefit
+#: (ADVICE round-3: n_warm_up_iter=60 gives fast stages {9, 6} -> chunk 6).
+_MIN_AUTO_CHUNK = 8
+
+
+def _auto_stage_chunks(sampling_stages, trace_thin=1):
     """Pick per-stage chunk lengths that maximize compiled-program reuse.
 
     ``_run_stage_chunk`` specializes on the static chunk length
@@ -256,6 +262,14 @@ def _auto_stage_chunks(sampling_stages):
     chunks thread the identical carry through the identical iteration
     body.  Single-stage groups (e.g. the main stage) keep whole-stage
     chunks, adding no host round trips on the hot path.
+
+    With ``trace_thin > 1`` the driver later aligns chunks down to
+    thin-block multiples, so the group chunk is picked from the
+    thin-aligned stage lengths (their gcd is itself a thin multiple) —
+    otherwise the alignment would re-fragment the group into several
+    compiled lengths.  Groups whose best chunk falls below
+    ``_MIN_AUTO_CHUNK`` are left unchunked (whole-stage programs): tiny
+    chunks add host round trips for little reuse.
 
     Returns a dict mapping stage label to its chunk length; stages absent
     from the dict run as a single chunk.
@@ -277,6 +291,15 @@ def _auto_stage_chunks(sampling_stages):
     chunks = {}
     for members in groups.values():
         lengths = sorted({n for _, n in members if n > 0})
+        if trace_thin > 1:
+            # Chunks will be aligned down to thin-block multiples by the
+            # driver; picking from the aligned lengths keeps the aligned
+            # chunk uniform across the group (a gcd of thin multiples is
+            # a thin multiple).
+            lengths = sorted({
+                (n // trace_thin) * trace_thin
+                for n in lengths if n >= trace_thin
+            })
         if len(lengths) < 2:
             continue
         divisor = math.gcd(*lengths)
@@ -288,6 +311,8 @@ def _auto_stage_chunks(sampling_stages):
         chunk = (
             divisor if divisor >= 4 and 4 * divisor >= shortest else shortest
         )
+        if chunk < _MIN_AUTO_CHUNK:
+            continue
         for label, _ in members:
             chunks[label] = chunk
     return chunks
@@ -772,7 +797,8 @@ class MarkovChainMonteCarloMethod:
         trans_keys = tuple(self.transitions)
         transitions = dict(self.transitions)
         auto_chunks = (
-            _auto_stage_chunks(sampling_stages) if chunk_size is None else {}
+            _auto_stage_chunks(sampling_stages, trace_thin)
+            if chunk_size is None else {}
         )
         sampling_index_offset = 0
         trace_index_offset = 0

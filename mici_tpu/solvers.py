@@ -115,6 +115,36 @@ def solve_fixed_point_direct(func, x0, convergence_tol=None,
     return x, diverged | ~converged
 
 
+def solve_fixed_point_unrolled(func, x0, n_iters=8, convergence_tol=None,
+                               norm=maximum_norm):
+    """Fixed-iteration direct fixed-point iteration, statically unrolled.
+
+    Runs exactly ``n_iters`` applications of ``func`` with the loop
+    unrolled at trace time (no ``lax.while_loop``): every chain in a
+    vmapped batch does identical static work, the compiler can fuse and
+    software-pipeline across iterations, and the compiled program's cost
+    is a static function of the shapes — the solver of choice for
+    compute-bound Riemannian regimes where the iteration body is
+    factorization-dominated and early exit saves nothing under lockstep
+    (benchmarks/roofline.py), and the building block for exact FLOP
+    accounting of the hot path.  No reference counterpart (the
+    reference's solvers all early-exit, mici/solvers.py:47-154); the
+    convergence *check* semantics match :func:`solve_fixed_point_direct`
+    applied to the final iterate only.
+
+    Returns:
+        Tuple ``(x, error_flag)`` with ``error_flag`` True when the final
+        residual exceeds the tolerance or is NaN.
+    """
+    x_prev = x = x0
+    for _ in range(max(1, int(n_iters))):
+        x_prev = x
+        x = func(x)
+    error = norm(x - x_prev)
+    tol = _resolve_tol(convergence_tol, x0.dtype, 1e-9, scale=norm(x))
+    return x, (error > tol) | jnp.isnan(error)
+
+
 def solve_fixed_point_steffensen(func, x0, convergence_tol=None,
                                  divergence_tol=1e10, max_iters=100,
                                  norm=maximum_norm):

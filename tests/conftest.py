@@ -40,6 +40,7 @@ _SLOW_NODEID_PATTERNS = (
     "test_samplers.py::test_trace_",
     "test_samplers.py::test_sharded_",
     "test_samplers.py::test_chunked_execution_matches_unchunked",
+    "test_samplers.py::test_auto_chunks_match_whole_stage_chunks_windowed",
     "test_samplers.py::test_windowed_stager_used_for_slow_adapters",
     "test_samplers.py::test_resume_from_final_states",
     "test_samplers.py::test_progress_bar_display",

@@ -1,5 +1,6 @@
 """Tests for profiling utilities (trace-time call counting)."""
 
+import jax
 import jax.numpy as jnp
 
 from mici_tpu import integrators, systems
@@ -30,3 +31,24 @@ def test_compiled_cost():
 
     cost = compiled_cost(f, jnp.ones((64, 64)))
     assert isinstance(cost, dict)
+
+
+def test_compile_telemetry_counts_compiles():
+    from mici_tpu.profiling import compile_telemetry
+
+    @jax.jit
+    def g(x):
+        return x * 3.0 + 1.0
+
+    x = jnp.ones(5)  # auxiliary compiles (array creation) happen here
+    with compile_telemetry() as tele:
+        g(x).block_until_ready()   # compile (cache miss)
+        g(x).block_until_ready()   # cache hit: no compile
+    assert tele.n_compiles >= 1
+    assert tele.compile_seconds_total > 0
+    assert tele.n_traces >= 1
+    assert tele.summary()["n_compiles"] == tele.n_compiles
+
+    with compile_telemetry() as tele2:
+        g(x).block_until_ready()   # still cached
+    assert tele2.n_compiles == 0

@@ -180,6 +180,75 @@ def test_chunked_execution_matches_unchunked():
     )
 
 
+def test_auto_stage_chunks_groups_windowed_stages():
+    """Unit test of the chunk_size=None grouping heuristic on a windowed
+    warm-up layout (ADVICE round-3: the default path had no direct test).
+    """
+    trace_funcs = (lambda state: {"pos": state.pos},)
+    adapter_lists = {"integration_transition": [_DA, _VAR]}
+    stages = stagers.WindowedWarmUpStager().stages(
+        300, 50, adapter_lists, trace_funcs,
+    )
+    lengths = {label: st.n_iter for label, st in stages.items()}
+    slow_labels = [lab for lab in lengths if "slow" in lab.lower()]
+    fast_labels = [lab for lab in lengths if "fast" in lab.lower()]
+    main_label = next(lab for lab in lengths if "main" in lab.lower())
+    assert len(slow_labels) >= 2  # layout sanity: several slow windows
+
+    chunks = samplers._auto_stage_chunks(stages)
+    # Slow windows share one compile signature: chunked at their gcd.
+    slow_gcd = np.gcd.reduce([lengths[lab] for lab in slow_labels])
+    assert all(chunks[lab] == slow_gcd for lab in slow_labels)
+    # The two fast stages (init 75 / final 50) also group (gcd 25).
+    if len(fast_labels) >= 2:
+        fast_gcd = np.gcd.reduce([lengths[lab] for lab in fast_labels])
+        assert all(chunks[lab] == fast_gcd for lab in fast_labels)
+    # The main stage is a singleton group: runs as one whole-stage chunk.
+    assert main_label not in chunks
+
+    # With trace_thin the picked chunk must survive the driver's
+    # thin-block alignment unchanged (a gcd of thin multiples).
+    chunks_thin = samplers._auto_stage_chunks(stages, trace_thin=10)
+    for lab, chunk in chunks_thin.items():
+        assert chunk % 10 == 0
+        assert chunk >= samplers._MIN_AUTO_CHUNK
+
+    # Tiny-chunk floor: stage groups whose best chunk falls below the
+    # floor stay unchunked (ADVICE: {9, 6} -> chunk 6 regression).
+    tiny = {
+        "a": stagers.ChainStage(9, adapter_lists, None, False),
+        "b": stagers.ChainStage(6, adapter_lists, None, False),
+    }
+    assert samplers._auto_stage_chunks(tiny) == {}
+
+
+def test_auto_chunks_match_whole_stage_chunks_windowed():
+    """End-to-end: chunk_size=None (auto grouping) is bit-identical to
+    whole-stage chunks for a windowed warm-up run (ADVICE round-3)."""
+    system, _ = _make_system()
+    integ = integrators.LeapfrogIntegrator(system)
+    run_kwargs = {
+        "adapters": [_DA, _VAR],
+        "stager": stagers.WindowedWarmUpStager(),
+        "display_progress": False,
+    }
+    sampler_a = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_a = sampler_a.sample_chains(
+        150, 30, _init_states(), **run_kwargs,
+    )
+    sampler_b = samplers.DynamicMultinomialHMC(system, integ, SEED)
+    out_b = sampler_b.sample_chains(
+        150, 30, _init_states(), chunk_size=10**9, **run_kwargs,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_a.traces["pos"]), np.asarray(out_b.traces["pos"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_a.statistics["accept_stat"]),
+        np.asarray(out_b.statistics["accept_stat"]),
+    )
+
+
 def test_resume_from_final_states():
     """final_states can seed a new sample_chains call.
 

@@ -228,3 +228,48 @@ def test_acceleration_reduces_iterations():
                                                 max_iters=10)
     assert not bool(error)
     np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-7)
+
+
+@pytest.mark.parametrize("problem", list(CONVERGENT))
+def test_fixed_point_unrolled_convergent(problem):
+    func, x0, expected = CONVERGENT[problem]
+    x, error = solvers.solve_fixed_point_unrolled(
+        func, jnp.asarray(x0), n_iters=60,
+    )
+    assert not bool(error)
+    np.testing.assert_allclose(np.asarray(x), expected, atol=1e-8)
+
+
+def test_fixed_point_unrolled_flags_unconverged_and_nan():
+    # Too few iterations of a slow contraction: final residual > tol.
+    _, error = solvers.solve_fixed_point_unrolled(
+        lambda x: 0.5 * (x + 2.0 / x), jnp.full(3, 100.0), n_iters=2,
+    )
+    assert bool(error)
+    _, error = solvers.solve_fixed_point_unrolled(
+        lambda x: x + jnp.nan, jnp.full(3, 1.0), n_iters=2,
+    )
+    assert bool(error)
+
+
+def test_fixed_point_unrolled_is_static():
+    # The unrolled solver must introduce no while_loop (static cost for
+    # exact roofline FLOP accounting, benchmarks/roofline.py).
+    jaxpr = jax.make_jaxpr(
+        lambda x: solvers.solve_fixed_point_unrolled(
+            lambda y: jnp.cos(y), x, n_iters=4,
+        )[0],
+    )(jnp.ones(3))
+    assert "while" not in str(jaxpr)
+    assert str(jaxpr).count("cos") == 4
+
+
+def test_fixed_point_unrolled_matches_direct_trajectory():
+    # Same math as direct iteration run for the same number of steps.
+    func = lambda x: jnp.cos(x)  # noqa: E731
+    x0 = jnp.full(3, 0.5)
+    x_unrolled, _ = solvers.solve_fixed_point_unrolled(func, x0, n_iters=7)
+    x_ref = x0
+    for _ in range(7):
+        x_ref = func(x_ref)
+    np.testing.assert_allclose(np.asarray(x_unrolled), np.asarray(x_ref))
