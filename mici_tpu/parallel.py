@@ -125,6 +125,12 @@ def _chain_axis_names(mesh):
     return tuple(n for n in mesh.axis_names if n != MODEL_AXIS)
 
 
+def n_chain_shards(mesh):
+    """Number of devices the chain (leading batch) axis spans."""
+    return int(np.prod([mesh.shape[n] for n in _chain_axis_names(mesh)],
+                       dtype=np.int64))
+
+
 def chain_sharding(mesh):
     """NamedSharding placing the leading (chain) axis over the mesh.
 

@@ -796,6 +796,21 @@ class MarkovChainMonteCarloMethod:
 
         trans_keys = tuple(self.transitions)
         transitions = dict(self.transitions)
+        if mesh is not None:
+            from mici_tpu import parallel
+
+            # Keep the depth-tail re-batching gathers shard-local: group
+            # the tail re-batching by the number of chain shards so no
+            # tail round induces cross-device gather/scatter traffic
+            # (transitions.py sample_batch; VERDICT round-3 item 4).
+            n_shards = parallel.n_chain_shards(mesh)
+            if n_shards > 1:
+                transitions = {
+                    k: (t.replace(rebatch_groups=n_shards)
+                        if getattr(t, "rebatch_groups", "absent") is None
+                        else t)
+                    for k, t in transitions.items()
+                }
         auto_chunks = (
             _auto_stage_chunks(sampling_stages, trace_thin)
             if chunk_size is None else {}
@@ -1262,14 +1277,15 @@ class DynamicMultinomialHMC(HamiltonianMonteCarlo):
                  max_delta_h=1000.0,
                  termination_criterion=riemannian_no_u_turn_criterion,
                  do_extra_subtree_checks=True, momentum_transition=None,
-                 loop_mode="fused", rebatch_depth=None, rebatch_slots=None):
+                 loop_mode="fused", rebatch_depth=None, rebatch_slots=None,
+                 rebatch_groups=None):
         integration_transition = MultinomialDynamicIntegrationTransition(
             system, integrator, max_tree_depth=max_tree_depth,
             max_delta_h=max_delta_h,
             termination_criterion=termination_criterion,
             do_extra_subtree_checks=do_extra_subtree_checks,
             loop_mode=loop_mode, rebatch_depth=rebatch_depth,
-            rebatch_slots=rebatch_slots,
+            rebatch_slots=rebatch_slots, rebatch_groups=rebatch_groups,
         )
         super().__init__(system, rng, integration_transition,
                          momentum_transition)
@@ -1293,14 +1309,15 @@ class DynamicSliceHMC(HamiltonianMonteCarlo):
                  max_delta_h=1000.0,
                  termination_criterion=euclidean_no_u_turn_criterion,
                  do_extra_subtree_checks=False, momentum_transition=None,
-                 loop_mode="fused", rebatch_depth=None, rebatch_slots=None):
+                 loop_mode="fused", rebatch_depth=None, rebatch_slots=None,
+                 rebatch_groups=None):
         integration_transition = SliceDynamicIntegrationTransition(
             system, integrator, max_tree_depth=max_tree_depth,
             max_delta_h=max_delta_h,
             termination_criterion=termination_criterion,
             do_extra_subtree_checks=do_extra_subtree_checks,
             loop_mode=loop_mode, rebatch_depth=rebatch_depth,
-            rebatch_slots=rebatch_slots,
+            rebatch_slots=rebatch_slots, rebatch_groups=rebatch_groups,
         )
         super().__init__(system, rng, integration_transition,
                          momentum_transition)

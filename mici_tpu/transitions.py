@@ -471,7 +471,8 @@ class DynamicIntegrationTransition(IntegrationTransition):
                  max_delta_h=1000.0,
                  termination_criterion=riemannian_no_u_turn_criterion,
                  do_extra_subtree_checks=True, loop_mode="fused",
-                 rebatch_depth=None, rebatch_slots=None):
+                 rebatch_depth=None, rebatch_slots=None,
+                 rebatch_groups=None):
         if max_tree_depth <= 0:
             msg = "max_tree_depth must be non-negative."
             raise ValueError(msg)
@@ -489,6 +490,9 @@ class DynamicIntegrationTransition(IntegrationTransition):
         if rebatch_slots is not None and rebatch_slots <= 0:
             msg = "rebatch_slots must be positive."
             raise ValueError(msg)
+        if rebatch_groups is not None and rebatch_groups <= 0:
+            msg = "rebatch_groups must be positive."
+            raise ValueError(msg)
         super().__init__(system, integrator)
         self.max_tree_depth = max_tree_depth
         self.max_delta_h = max_delta_h
@@ -497,6 +501,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
         self.loop_mode = loop_mode
         self.rebatch_depth = rebatch_depth
         self.rebatch_slots = rebatch_slots
+        self.rebatch_groups = rebatch_groups
 
     @property
     def statistic_types(self):
@@ -1233,6 +1238,26 @@ class DynamicIntegrationTransition(IntegrationTransition):
         # first), runs them to completion masked in lockstep, and scatters
         # the carries back; padding lanes holding finished chains pass
         # through unchanged.
+        #
+        # When the chain axis is sharded over a device mesh, a gather
+        # indexed across the *whole* axis would lower to cross-device
+        # all-to-all traffic every round.  ``rebatch_groups`` (set by the
+        # sampler to the number of chain shards when a mesh is passed)
+        # splits the axis into that many contiguous groups and gathers the
+        # tail *within each group*: the reshape (n_chain,) ->
+        # (groups, n_chain/groups) splits the sharded axis so group 0 of
+        # the gather batch lives wholly on device 0, etc., and the SPMD
+        # partitioner keeps every gather/scatter shard-local (verified at
+        # the HLO level in tests/test_parallel.py).  Per-chain decisions
+        # are bit-identical for any grouping — the loop body is the same
+        # per-chain function whichever slot lane a chain occupies.
+        groups = self.rebatch_groups or 1
+        if groups <= 1 or n_chain % groups != 0:
+            groups = 1
+        per_group = n_chain // groups
+        slots_g = -(-slots // groups)  # ceil: total slot budget preserved
+        slots_g = min(slots_g, per_group)
+
         def continue_slot(c):
             return lax.while_loop(
                 lambda s: jnp.any(vcond(s)),
@@ -1242,13 +1267,32 @@ class DynamicIntegrationTransition(IntegrationTransition):
 
         def rounds_body(state):
             c, active = state
-            idx = jnp.argsort(~active)[:slots]
-            slot = jax.tree_util.tree_map(lambda x: x[idx], c)
+            active_g = active.reshape(groups, per_group)
+            idx = jax.vmap(
+                lambda a: jnp.argsort(~a)[:slots_g],
+            )(active_g)  # (groups, slots_g), actives first per group
+
+            def gather(x):
+                xg = x.reshape((groups, per_group) + x.shape[1:])
+                sg = jax.vmap(lambda xe, ie: xe[ie])(xg, idx)
+                return sg.reshape((groups * slots_g,) + x.shape[1:])
+
+            slot = jax.tree_util.tree_map(gather, c)
             slot = continue_slot(slot)
-            c = jax.tree_util.tree_map(
-                lambda x, y: x.at[idx].set(y), c, slot,
-            )
-            return c, active.at[idx].set(False)
+
+            def scatter(x, y):
+                xg = x.reshape((groups, per_group) + x.shape[1:])
+                yg = y.reshape((groups, slots_g) + y.shape[1:])
+                out = jax.vmap(
+                    lambda xe, ie, ye: xe.at[ie].set(ye),
+                )(xg, idx, yg)
+                return out.reshape(x.shape)
+
+            c = jax.tree_util.tree_map(scatter, c, slot)
+            new_active = jax.vmap(
+                lambda ae, ie: ae.at[ie].set(False),
+            )(active_g, idx)
+            return c, new_active.reshape(active.shape)
 
         carry, _ = lax.while_loop(
             lambda state: jnp.any(state[1]),
@@ -1420,7 +1464,7 @@ class DynamicIntegrationTransition(IntegrationTransition):
     data_fields=("system", "integrator"),
     static_fields=("max_tree_depth", "max_delta_h", "termination_criterion",
                    "do_extra_subtree_checks", "loop_mode", "rebatch_depth",
-                   "rebatch_slots"),
+                   "rebatch_slots", "rebatch_groups"),
 )
 class MultinomialDynamicIntegrationTransition(DynamicIntegrationTransition):
     """Dynamic integration transition with multinomial proposal sampling.
@@ -1449,7 +1493,7 @@ class MultinomialDynamicIntegrationTransition(DynamicIntegrationTransition):
     data_fields=("system", "integrator"),
     static_fields=("max_tree_depth", "max_delta_h", "termination_criterion",
                    "do_extra_subtree_checks", "loop_mode", "rebatch_depth",
-                   "rebatch_slots"),
+                   "rebatch_slots", "rebatch_groups"),
 )
 class SliceDynamicIntegrationTransition(DynamicIntegrationTransition):
     """Dynamic integration transition with slice-sampled proposals.

@@ -46,6 +46,7 @@ _SLOW_NODEID_PATTERNS = (
     "test_samplers.py::test_progress_bar_display",
     "test_samplers.py::test_sample_chains[dynamic",
     "test_samplers.py::test_sample_chains_rebatch_",
+    "test_samplers.py::test_rebatch_grouping_bit_identical",
     "test_interface.py::test_sample_constrained",
     "test_interface.py::test_sample_hmc_chains_sampler_classes",
     "test_interface.py::test_sample_hmc_chains_integrator_classes",

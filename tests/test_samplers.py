@@ -739,10 +739,11 @@ def test_sample_chains_rebatch_identical_to_plain():
 
 def test_sample_chains_rebatch_sharded_matches_unsharded():
     """Depth-tail re-batching under a mesh-sharded chain axis: the
-    argsort-gather/scatter of the continuation rounds crosses device
-    boundaries (XLA inserts the collectives), and results must stay
-    identical to the unsharded re-batched run — and hence to plain
-    execution (test_sample_chains_rebatch_identical_to_plain)."""
+    sampler groups the tail gathers by chain shard (rebatch_groups is
+    set to the shard count, keeping every gather/scatter shard-local —
+    see tests/test_parallel.py for the HLO-level check), and results
+    must stay identical to the unsharded re-batched run — and hence to
+    plain execution (test_sample_chains_rebatch_identical_to_plain)."""
     system, _ = _make_system()
     outs = []
     for mesh in (None, parallel.make_chain_mesh()):
@@ -759,3 +760,26 @@ def test_sample_chains_rebatch_sharded_matches_unsharded():
         np.testing.assert_allclose(
             unsharded.statistics[key], sharded.statistics[key],
             atol=1e-8, err_msg=key)
+
+
+def test_rebatch_grouping_bit_identical():
+    """Shard-local tail grouping (rebatch_groups) must not change a single
+    sampled value: per-chain decisions are the same per-chain function
+    whichever slot lane / group a chain lands in (VERDICT round-3 item 4).
+    """
+    system, _ = _make_system()
+    outs = []
+    for groups in (None, 2, 4, 8):
+        integ = integrators.LeapfrogIntegrator(system)
+        sampler = samplers.DynamicMultinomialHMC(
+            system, integ, SEED, max_tree_depth=6,
+            rebatch_depth=2, rebatch_slots=4, rebatch_groups=groups)
+        outs.append(sampler.sample_chains(
+            10, 20, _init_states(8), display_progress=False))
+    base = outs[0]
+    for out in outs[1:]:
+        np.testing.assert_array_equal(
+            base.traces["pos"], out.traces["pos"])
+        for key in base.statistics:
+            np.testing.assert_array_equal(
+                base.statistics[key], out.statistics[key], err_msg=key)
