@@ -1,0 +1,245 @@
+"""Chunk-boundary checkpoint / restore for long sampling runs.
+
+The reference's memory-mapped trace storage makes partial *traces*
+crash-survivable (mici/samplers.py:87-367 — flushed memmaps persist after
+a kill), but a preempted long run still loses adapter state, transition
+parameters and generator position: the only resumption the reference
+supports is re-passing ``final_states`` of a *completed* call as the next
+call's ``init_states`` (mici/samplers.py:808-815).
+
+This module makes the whole sampling loop resumable at compiled-chunk
+granularity, which matters on shared / preemptible TPU pools:
+
+* After every drained chunk the full device carry of the stage loop —
+  chain states, per-chain PRNG keys, adapter states, adapter-controlled
+  transition parameters, running trace summaries — plus the host-side
+  cursors (stage index, offset within stage, trace-row offsets) and the
+  sampler's base PRNG key are serialized to ``<memmap_path>/checkpoint/``
+  with an atomic write (``os.replace``), so a checkpoint is never
+  half-written even under ``kill -9``.
+* At every stage boundary the inputs of the cross-chain adapter
+  finalization (final adapter states, end-of-stage chain states, and the
+  sampler key it will consume) are recorded.  On resume the finalizations
+  of completed stages are *replayed* from these records, reconstructing
+  the adapted transitions — including structural changes such as an
+  identity metric being replaced by an adapted diagonal/dense one —
+  bit-identically, without having to serialize transition/system objects
+  (which close over user model functions and are not picklable).
+* Traces and statistics live in the memmap files already on disk; resume
+  reopens them in ``r+`` mode and overwrites any rows written after the
+  last checkpoint (those iterations are re-run from the checkpointed
+  carry, reproducing the same values).
+
+Only array leaves are serialized; pytree *structure* is never stored.
+On resume each saved leaf list is poured back into a structure template
+recomputed by the driver (prepared initial states, ``jax.eval_shape`` of
+the adapter initialization, the host-initialized summary state), with
+shape/dtype validation against the template.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+
+_META_FILE = "checkpoint_meta.json"
+_CARRY_FILE = "carry.npz"
+
+
+class CheckpointError(RuntimeError):
+    """Raised when a checkpoint is missing, corrupt or incompatible."""
+
+
+def _is_key_leaf(leaf):
+    dtype = getattr(leaf, "dtype", None)
+    if dtype is None:
+        return False
+    try:
+        return jnp.issubdtype(dtype, jax.dtypes.prng_key)
+    except TypeError:
+        return False
+
+
+def _leaf_to_numpy(leaf):
+    if _is_key_leaf(leaf):
+        leaf = jax.random.key_data(leaf)
+    return np.asarray(jax.device_get(leaf))
+
+
+def host_leaves(tree):
+    """Flatten a pytree to a list of host numpy arrays (keys unwrapped)."""
+    return [_leaf_to_numpy(leaf) for leaf in jax.tree_util.tree_leaves(tree)]
+
+
+def restore_like(template, leaves, *, what="checkpoint payload"):
+    """Pour saved leaf arrays back into the structure of ``template``.
+
+    ``template`` provides the treedef and per-leaf shape/dtype (its leaves
+    may be concrete arrays or ``jax.ShapeDtypeStruct`` from ``eval_shape``);
+    ``leaves`` are the host arrays loaded from a checkpoint, in tree order.
+    """
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(t_leaves) != len(leaves):
+        msg = (f"Checkpoint mismatch restoring {what}: saved {len(leaves)} "
+               f"array(s) but the current configuration expects "
+               f"{len(t_leaves)}. The resumed call must use the same "
+               f"sampler configuration as the checkpointed run.")
+        raise CheckpointError(msg)
+    restored = []
+    for t_leaf, leaf in zip(t_leaves, leaves):
+        if _is_key_leaf(t_leaf):
+            expect_shape = tuple(
+                jax.eval_shape(jax.random.key_data, t_leaf).shape,
+            )
+            key = True
+        else:
+            expect_shape = tuple(np.shape(t_leaf)) if not hasattr(
+                t_leaf, "shape") else tuple(t_leaf.shape)
+            key = False
+        if tuple(leaf.shape) != expect_shape:
+            msg = (f"Checkpoint mismatch restoring {what}: saved array of "
+                   f"shape {tuple(leaf.shape)} where the current "
+                   f"configuration expects {expect_shape}.")
+            raise CheckpointError(msg)
+        if key:
+            impl = str(jax.random.key_impl(t_leaf))
+            leaf = jax.random.wrap_key_data(jnp.asarray(leaf), impl=impl)
+        restored.append(leaf)
+    return treedef.unflatten(restored)
+
+
+def _pack_groups(groups, scalars):
+    arrays = {"__scalars__": np.asarray(json.dumps(scalars))}
+    for name, leaves in groups.items():
+        arrays[f"__n_{name}__"] = np.asarray(len(leaves))
+        for i, leaf in enumerate(leaves):
+            arrays[f"{name}_{i}"] = leaf
+    return arrays
+
+
+def _unpack_groups(npz, group_names):
+    scalars = json.loads(str(npz["__scalars__"][()]))
+    groups = {}
+    for name in group_names:
+        n = int(npz[f"__n_{name}__"][()])
+        groups[name] = [npz[f"{name}_{i}"] for i in range(n)]
+    return groups, scalars
+
+
+_CARRY_GROUPS = ("states", "chain_keys", "params", "adapt", "summary", "rng")
+_RECORD_GROUPS = ("states", "adapt", "rng")
+
+
+class CheckpointWriter:
+    """Writes atomic chunk-boundary checkpoints under a directory."""
+
+    def __init__(self, directory, meta):
+        self._dir = Path(directory)
+        self._dir.mkdir(parents=True, exist_ok=True)
+        self._atomic_write_bytes(
+            self._dir / _META_FILE,
+            json.dumps(meta, indent=2, sort_keys=True).encode(),
+        )
+
+    def _atomic_write_bytes(self, path, data):
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _atomic_savez(self, path, arrays):
+        tmp = path.with_suffix(".tmp.npz")
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def write_carry(self, *, stage_index, states, chain_keys, params,
+                    adapt_states, summary_state, offset_in_stage,
+                    trace_offset_in_stage, sampling_index_offset,
+                    trace_index_offset, rng):
+        groups = {
+            "states": host_leaves(states),
+            "chain_keys": host_leaves(chain_keys),
+            "params": host_leaves(params),
+            "adapt": host_leaves(adapt_states),
+            "summary": host_leaves(summary_state)
+            if summary_state is not None else [],
+            "rng": host_leaves(rng),
+        }
+        scalars = {
+            "stage_index": int(stage_index),
+            "offset_in_stage": int(offset_in_stage),
+            "trace_offset_in_stage": int(trace_offset_in_stage),
+            "sampling_index_offset": int(sampling_index_offset),
+            "trace_index_offset": int(trace_index_offset),
+            "has_summary": summary_state is not None,
+        }
+        self._atomic_savez(
+            self._dir / _CARRY_FILE, _pack_groups(groups, scalars),
+        )
+
+    def write_finalize_record(self, stage_index, adapt_states, states, rng):
+        groups = {
+            "states": host_leaves(states),
+            "adapt": host_leaves(adapt_states),
+            "rng": host_leaves(rng),
+        }
+        scalars = {"stage_index": int(stage_index)}
+        self._atomic_savez(
+            self._dir / f"finalize_{int(stage_index):03d}.npz",
+            _pack_groups(groups, scalars),
+        )
+
+
+class LoadedCheckpoint:
+    """Raw contents of a checkpoint directory (no interpretation)."""
+
+    def __init__(self, directory):
+        self._dir = Path(directory)
+        meta_path = self._dir / _META_FILE
+        carry_path = self._dir / _CARRY_FILE
+        if not meta_path.exists() or not carry_path.exists():
+            msg = (f"No checkpoint found under {self._dir} (expected "
+                   f"{_META_FILE} and {_CARRY_FILE}).")
+            raise CheckpointError(msg)
+        with open(meta_path) as f:
+            self.meta = json.load(f)
+        if self.meta.get("format_version") != FORMAT_VERSION:
+            msg = (f"Unsupported checkpoint format version "
+                   f"{self.meta.get('format_version')!r} (this build reads "
+                   f"version {FORMAT_VERSION}).")
+            raise CheckpointError(msg)
+        with np.load(carry_path) as npz:
+            self.carry_groups, self.carry = _unpack_groups(
+                npz, _CARRY_GROUPS,
+            )
+        self.finalize_records = {}
+        for path in sorted(self._dir.glob("finalize_*.npz")):
+            with np.load(path) as npz:
+                groups, scalars = _unpack_groups(npz, _RECORD_GROUPS)
+            self.finalize_records[int(scalars["stage_index"])] = groups
+
+    def validate_meta(self, expected):
+        """Check the run fingerprint matches the resumed call's config."""
+        for field, value in expected.items():
+            saved = self.meta.get(field)
+            if saved != value:
+                msg = (f"Checkpoint was written by a run with {field}="
+                       f"{saved!r}; the resumed call has {field}={value!r}. "
+                       f"Resume must use the same sampler configuration.")
+                raise CheckpointError(msg)
+
+
+def checkpoint_dir(memmap_path):
+    return Path(memmap_path) / "checkpoint"

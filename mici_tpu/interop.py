@@ -163,6 +163,48 @@ def _stack_arrays(data_dict):
     return out
 
 
+def convert_to_arviz_dict(traces, stats, energy_key="hamiltonian",
+                          lp_key="lp"):
+    """Dependency-free export of chain output in ArviZ ``from_dict`` layout.
+
+    Produces exactly the dict-of-dict-of-arrays structure that
+    ``arviz.from_dict`` (and ``arviz.dict_to_dataset`` per group) consumes
+    — reference schema mici/interop.py:54-96 — without importing arviz:
+
+    * ``"posterior"``: every traced variable as an array of shape
+      ``(n_chain, n_draw, *variable_shape)``.
+    * ``"sample_stats"``: transition statistics with names normalized to
+      the ArviZ vocabulary (``n_step`` → ``n_steps``, ``accept_stat`` →
+      ``acceptance_rate``; mici/interop.py:30-45), plus the energy and
+      log-density traces lifted from ``traces`` under ``"energy"`` /
+      ``"lp"`` when present.
+
+    Per-chain lists of ``(n_draw, ...)`` arrays (the reference's native
+    trace format) are stacked; chain-stacked arrays (this framework's
+    native format) pass through.  The arviz bridges
+    (:func:`convert_to_inference_data`, :func:`convert_to_data_tree`) are
+    thin adapters over this function, so the conversion logic is fully
+    exercised by tests even where arviz itself is not installed.
+
+    Args:
+        traces: Traces dict from a ``sample_chains`` call: arrays (or
+            lists of per-chain arrays) of shape ``(n_chain, n_iter, ...)``.
+        stats: Statistics dict from a ``sample_chains`` call.
+        energy_key: Trace key treated as the energy sample statistic
+            (default ``"hamiltonian"``, the name recorded by the default
+            trace function).
+        lp_key: Trace key treated as the log-probability sample statistic.
+
+    Returns:
+        ``{"posterior": {name: ndarray}, "sample_stats": {name: ndarray}}``.
+    """
+    sample_stats = _preprocess_stats(traces, stats, energy_key, lp_key)
+    return {
+        "posterior": _stack_arrays(traces),
+        "sample_stats": _stack_arrays(sample_stats),
+    }
+
+
 def convert_to_inference_data(traces, stats, energy_key="hamiltonian",
                               lp_key="lp"):
     """Convert chain trace and statistics data to an ArviZ InferenceData.
@@ -190,10 +232,10 @@ def convert_to_inference_data(traces, stats, energy_key="hamiltonian",
             "xarray.DataTree; use convert_to_data_tree instead."
         )
         raise RuntimeError(msg)
-    sample_stats = _preprocess_stats(traces, stats, energy_key, lp_key)
+    groups = convert_to_arviz_dict(traces, stats, energy_key, lp_key)
     return az.from_dict(
-        posterior=_stack_arrays(traces),
-        sample_stats=_stack_arrays(sample_stats),
+        posterior=groups["posterior"],
+        sample_stats=groups["sample_stats"],
     )
 
 
@@ -216,12 +258,8 @@ def convert_to_data_tree(traces, stats, energy_key="hamiltonian",
     if _parse_version(az.__version__) < _parse_version("1.0.0"):
         msg = "xarray.DataTree support requires ArviZ v1.0+"
         raise RuntimeError(msg)
-    sample_stats = _preprocess_stats(traces, stats, energy_key, lp_key)
     return az.from_dict(
-        {
-            "posterior": _stack_arrays(traces),
-            "sample_stats": _stack_arrays(sample_stats),
-        },
+        convert_to_arviz_dict(traces, stats, energy_key, lp_key),
     )
 
 

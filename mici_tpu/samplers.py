@@ -44,6 +44,7 @@ from mici_tpu.progressbars import (
     LabelledSequenceProgressBar,
     SequenceProgressBar,
 )
+from mici_tpu import checkpoint as checkpoint_mod
 from mici_tpu import precision, sketches
 from mici_tpu.stagers import WarmUpStager, WindowedWarmUpStager
 from mici_tpu.states import ChainState
@@ -528,6 +529,18 @@ class HMCSampleChainsOutputs(_SampleChainsOutputs):
     Reference: mici/samplers.py:1151-1177.
     """
 
+    def to_arviz_dict(self, energy_key="hamiltonian", lp_key="lp"):
+        """Export as ``{"posterior": ..., "sample_stats": ...}`` arrays.
+
+        Dependency-free ArviZ ``from_dict`` layout — see
+        :func:`mici_tpu.interop.convert_to_arviz_dict`.
+        """
+        from mici_tpu.interop import convert_to_arviz_dict
+
+        return convert_to_arviz_dict(
+            self.traces, self.statistics, energy_key, lp_key,
+        )
+
 
 def _open_new_memmap(file_path, shape, default_value, dtype):
     """Open a new memory-mapped array, fill with value and return.
@@ -541,6 +554,41 @@ def _open_new_memmap(file_path, shape, default_value, dtype):
     )
     memmap[...] = default_value
     return memmap
+
+
+def _open_existing_memmap(file_path, shape, dtype):
+    """Reopen a memmap written by a checkpointed run (resume path)."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    if not Path(file_path).exists():
+        msg = (f"Resume: expected memmap file {file_path} from the "
+               f"checkpointed run, but it does not exist.")
+        raise checkpoint_mod.CheckpointError(msg)
+    memmap = np.lib.format.open_memmap(file_path, mode="r+")
+    if tuple(memmap.shape) != tuple(shape) or memmap.dtype != np.dtype(
+            dtype):
+        msg = (f"Resume: memmap file {file_path} has shape "
+               f"{tuple(memmap.shape)} / dtype {memmap.dtype}, but the "
+               f"resumed configuration expects {tuple(shape)} / "
+               f"{np.dtype(dtype)}.")
+        raise checkpoint_mod.CheckpointError(msg)
+    return memmap
+
+
+def _adapter_state_templates(transitions, states, *, trans_keys,
+                             stage_adapters):
+    """Abstract (shape/dtype) templates of a stage's adapter state/params.
+
+    Used on resume to pour checkpointed leaf arrays back into the exact
+    pytree structure ``_init_adapters`` would have produced, without
+    running the (potentially expensive) initializers.
+    """
+    return jax.eval_shape(
+        functools.partial(
+            _init_adapters, trans_keys=trans_keys, adapters=stage_adapters,
+        ),
+        transitions, states,
+    )
 
 
 class MarkovChainMonteCarloMethod:
@@ -583,6 +631,7 @@ class MarkovChainMonteCarloMethod:
                       display_progress=True, progress_bar_class=None,
                       chunk_size=None, mesh=None, trace_thin=1,
                       trace_summary=False, trace_summary_quantiles=None,
+                      checkpoint=False, resume_from=None,
                       n_worker=1, n_process=None,
                       use_thread_pool=False, max_threads_per_worker=None):
         """Sample Markov chains with optional adaptive warm up.
@@ -645,6 +694,26 @@ class MarkovChainMonteCarloMethod:
                 1985) per chain and trace element under ``"quantiles"``
                 (with ``"quantile_levels"``); implies
                 ``trace_summary=True`` when it was left as False.
+            checkpoint: Write a resumable checkpoint after every drained
+                chunk (and at stage boundaries) under
+                ``<memmap_path>/checkpoint/``.  Requires ``memmap_path``
+                (trace/statistic storage must be on disk); implies
+                ``force_memmap=True``.  A killed run can then be
+                continued with ``resume_from=memmap_path``, reproducing
+                the uninterrupted run's traces bit-for-bit.  Beyond the
+                reference, whose only resumption path is re-passing the
+                ``final_states`` of a *completed* call
+                (mici/samplers.py:808-815); see :mod:`mici_tpu.checkpoint`.
+            resume_from: Path to the ``memmap_path`` of an earlier
+                checkpointed run to resume.  The call must use the same
+                sampler configuration (chains, iterations, stages,
+                adapters, trace functions) as the original; completed
+                warm-up finalizations are replayed from the checkpoint
+                records, the stage-loop carry (chain states, PRNG keys,
+                adapter states, transition parameters, trace summaries)
+                is restored from the last checkpoint, and sampling
+                continues — at most one chunk of work is repeated.
+                Implies ``checkpoint=True`` with the same path.
 
         Returns:
             MCMCSampleChainsOutputs(final_states, traces, statistics).
@@ -695,6 +764,36 @@ class MarkovChainMonteCarloMethod:
 
             states = parallel.shard_chain_axis(states, mesh)
             chain_keys = parallel.shard_chain_axis(chain_keys, mesh)
+
+        loaded_ckpt = None
+        if resume_from is not None:
+            checkpoint = True
+            if memmap_path is None:
+                memmap_path = resume_from
+            elif Path(memmap_path).resolve() != Path(resume_from).resolve():
+                msg = ("resume_from must equal memmap_path (the resumed "
+                       "run's traces and checkpoints live in the same "
+                       "directory).")
+                raise ValueError(msg)
+            loaded_ckpt = checkpoint_mod.LoadedCheckpoint(
+                checkpoint_mod.checkpoint_dir(resume_from),
+            )
+            # Validate the scalar fingerprint before touching any memmap
+            # (full schedule validation happens once stages are built).
+            loaded_ckpt.validate_meta({
+                "n_chain": int(n_chain),
+                "n_warm_up_iter": int(n_warm_up_iter),
+                "n_main_iter": int(n_main_iter),
+                "trace_thin": int(trace_thin),
+                "trace_warm_up": bool(trace_warm_up),
+            })
+        if checkpoint:
+            if memmap_path is None:
+                msg = ("checkpoint=True requires memmap_path: checkpoints "
+                       "resume against the on-disk trace/statistic "
+                       "memmaps.")
+                raise ValueError(msg)
+            force_memmap = True
 
         n_trace_iter = (n_warm_up_iter + n_main_iter if trace_warm_up
                         else n_main_iter)
@@ -757,7 +856,12 @@ class MarkovChainMonteCarloMethod:
                 init = (np.nan if np.issubdtype(val.dtype, np.inexact)
                         else 0)
                 shape = (n_chain, n_trace_rows, *val.shape)
-                if use_memmap:
+                if loaded_ckpt is not None:
+                    traces[key] = _open_existing_memmap(
+                        Path(memmap_path) / f"trace_{key}.npy",
+                        shape, val.dtype,
+                    )
+                elif use_memmap:
                     traces[key] = _open_new_memmap(
                         Path(memmap_path) / f"trace_{key}.npy",
                         shape, init, val.dtype,
@@ -774,7 +878,12 @@ class MarkovChainMonteCarloMethod:
                     except TypeError:
                         np_dtype = np.float64
                     shape = (n_chain, n_trace_iter)
-                    if use_memmap:
+                    if loaded_ckpt is not None:
+                        stats[trans_key][key] = _open_existing_memmap(
+                            Path(memmap_path) / f"stats_{trans_key}_{key}.npy",
+                            shape, np_dtype,
+                        )
+                    elif use_memmap:
                         stats[trans_key][key] = _open_new_memmap(
                             Path(memmap_path) / f"stats_{trans_key}_{key}.npy",
                             shape, val, np_dtype,
@@ -815,6 +924,38 @@ class MarkovChainMonteCarloMethod:
             _auto_stage_chunks(sampling_stages, trace_thin)
             if chunk_size is None else {}
         )
+        ckpt_writer = None
+        resume_stage = -1
+        resume_carry = None
+        if checkpoint:
+            # Fingerprint of the run configuration: a resumed call must
+            # reproduce the exact stage schedule and storage layout.
+            ckpt_meta = {
+                "format_version": checkpoint_mod.FORMAT_VERSION,
+                "n_chain": int(n_chain),
+                "n_warm_up_iter": int(n_warm_up_iter),
+                "n_main_iter": int(n_main_iter),
+                "trace_thin": int(trace_thin),
+                "trace_warm_up": bool(trace_warm_up),
+                "trans_keys": list(trans_keys),
+                "stages": [
+                    [label, int(stage.n_iter),
+                     bool(stage.adapters
+                          and any(stage.adapters.values())),
+                     bool(stage.record_stats),
+                     stage.trace_funcs is not None]
+                    for label, stage in sampling_stages.items()
+                ],
+                "trace_keys": sorted(traces) if traces is not None else [],
+                "stat_keys": {k: sorted(v) for k, v in stats.items()},
+            }
+            if loaded_ckpt is not None:
+                loaded_ckpt.validate_meta(ckpt_meta)
+                resume_stage = int(loaded_ckpt.carry["stage_index"])
+                resume_carry = loaded_ckpt
+            ckpt_writer = checkpoint_mod.CheckpointWriter(
+                checkpoint_mod.checkpoint_dir(memmap_path), ckpt_meta,
+            )
         sampling_index_offset = 0
         trace_index_offset = 0
         interrupted = False
@@ -835,7 +976,105 @@ class MarkovChainMonteCarloMethod:
                     (k, tuple(v)) for k, v in (stage.adapters or {}).items()
                     if v
                 )
-                if stage_adapters:
+                if stage_index < resume_stage:
+                    # Stage fully sampled before the checkpoint: replay
+                    # only its cross-chain adapter finalization from the
+                    # recorded inputs, reconstructing the adapted
+                    # transitions (and any structural metric change)
+                    # bit-identically without re-running the chains.
+                    if stage_adapters:
+                        record = resume_carry.finalize_records.get(
+                            stage_index,
+                        )
+                        if record is None:
+                            msg = (f"Resume: missing finalization record "
+                                   f"for completed stage {label!r} in the "
+                                   f"checkpoint directory.")
+                            raise checkpoint_mod.CheckpointError(msg)
+                        adapt_template, _ = _adapter_state_templates(
+                            transitions, states, trans_keys=trans_keys,
+                            stage_adapters=stage_adapters,
+                        )
+                        r_adapt = checkpoint_mod.restore_like(
+                            adapt_template, record["adapt"],
+                            what=f"adapter states of stage {label!r}",
+                        )
+                        r_states = checkpoint_mod.restore_like(
+                            states, record["states"],
+                            what=f"chain states of stage {label!r}",
+                        )
+                        self._rng = checkpoint_mod.restore_like(
+                            self._rng, record["rng"],
+                            what="sampler PRNG key",
+                        )
+                        if mesh is not None:
+                            from mici_tpu import parallel
+
+                            r_states = parallel.shard_chain_axis(
+                                r_states, mesh)
+                            r_adapt = parallel.shard_chain_axis(
+                                r_adapt, mesh)
+                        transitions, states = self._finalize_adapters(
+                            transitions, r_states, r_adapt, stage_adapters,
+                        )
+                    stage_pb.update(stage_index + 1)
+                    continue
+
+                restored_mid = stage_index == resume_stage
+                if restored_mid:
+                    # Resumed stage: pour the checkpointed carry back into
+                    # freshly computed structure templates.
+                    if stage_adapters:
+                        adapt_template, params_template = (
+                            _adapter_state_templates(
+                                transitions, states, trans_keys=trans_keys,
+                                stage_adapters=stage_adapters,
+                            ))
+                    else:
+                        adapt_template = {}
+                        params_template = {k: {} for k in trans_keys}
+                    groups = resume_carry.carry_groups
+                    carry_scalars = resume_carry.carry
+                    adapt_states = checkpoint_mod.restore_like(
+                        adapt_template, groups["adapt"],
+                        what="adapter states",
+                    )
+                    params = checkpoint_mod.restore_like(
+                        params_template, groups["params"],
+                        what="transition parameters",
+                    )
+                    states = checkpoint_mod.restore_like(
+                        states, groups["states"], what="chain states",
+                    )
+                    chain_keys = checkpoint_mod.restore_like(
+                        chain_keys, groups["chain_keys"],
+                        what="chain PRNG keys",
+                    )
+                    if summary_state is not None or groups["summary"]:
+                        summary_state = checkpoint_mod.restore_like(
+                            summary_state, groups["summary"],
+                            what="trace summaries",
+                        )
+                    self._rng = checkpoint_mod.restore_like(
+                        self._rng, groups["rng"], what="sampler PRNG key",
+                    )
+                    if mesh is not None:
+                        from mici_tpu import parallel
+
+                        states = parallel.shard_chain_axis(states, mesh)
+                        chain_keys = parallel.shard_chain_axis(
+                            chain_keys, mesh)
+                        adapt_states = parallel.shard_chain_axis(
+                            adapt_states, mesh)
+                        params = parallel.shard_chain_axis(params, mesh)
+                        if summary_state is not None:
+                            summary_state = parallel.shard_chain_axis(
+                                summary_state, mesh)
+                    sampling_index_offset = int(
+                        carry_scalars["sampling_index_offset"])
+                    trace_index_offset = int(
+                        carry_scalars["trace_index_offset"])
+                elif stage_adapters:
                     adapt_states, params = _init_adapters(
                         transitions, states, trans_keys=trans_keys,
                         adapters=stage_adapters,
@@ -848,7 +1087,6 @@ class MarkovChainMonteCarloMethod:
                 stage_trace_funcs = stage.trace_funcs
                 record = stage.record_stats or stage_trace_funcs is not None
 
-                n_remaining = stage.n_iter
                 base_chunk = (
                     auto_chunks.get(label, stage.n_iter)
                     if chunk_size is None else chunk_size
@@ -859,8 +1097,14 @@ class MarkovChainMonteCarloMethod:
                     # trace rows stay contiguous across chunks.
                     chunk = max(trace_thin,
                                 (chunk // trace_thin) * trace_thin)
-                offset_in_stage = 0
-                trace_offset_in_stage = 0
+                if restored_mid:
+                    offset_in_stage = int(carry_scalars["offset_in_stage"])
+                    trace_offset_in_stage = int(
+                        carry_scalars["trace_offset_in_stage"])
+                else:
+                    offset_in_stage = 0
+                    trace_offset_in_stage = 0
+                n_remaining = stage.n_iter - offset_in_stage
                 pb = progress_bar_class(
                     range(stage.n_iter), description=label, position=(1, 2),
                 )
@@ -880,7 +1124,22 @@ class MarkovChainMonteCarloMethod:
                         # device compute with device->host transfer — the
                         # compiled-world analogue of the reference's
                         # memmap flush pipeline (mici/samplers.py:354-367).
+                        if ckpt_writer is not None:
+                            # Stage-entry checkpoint: covers kills before
+                            # the first drained chunk of the stage.
+                            self._write_carry_checkpoint(
+                                ckpt_writer, stage_index,
+                                (states, chain_keys, params, adapt_states,
+                                 summary_state, offset_in_stage,
+                                 trace_offset_in_stage),
+                                sampling_index_offset, trace_index_offset,
+                            )
                         while n_remaining > 0:
+                            carry_snapshot = (
+                                states, chain_keys, params, adapt_states,
+                                summary_state, offset_in_stage,
+                                trace_offset_in_stage,
+                            ) if ckpt_writer is not None else None
                             this_chunk = min(chunk, n_remaining)
                             (states, chain_keys, params, adapt_states,
                              chunk_traces, chunk_stats,
@@ -904,6 +1163,17 @@ class MarkovChainMonteCarloMethod:
                                     pending, traces, stats,
                                     stage_trace_funcs, stage.record_stats,
                                 ))
+                                if ckpt_writer is not None:
+                                    # The snapshot taken before this
+                                    # chunk's dispatch is exactly the
+                                    # carry matching the rows the drain
+                                    # just made durable.
+                                    self._write_carry_checkpoint(
+                                        ckpt_writer, stage_index,
+                                        carry_snapshot,
+                                        sampling_index_offset,
+                                        trace_index_offset,
+                                    )
                             row = slice(
                                 sampling_index_offset + offset_in_stage,
                                 sampling_index_offset + offset_in_stage
@@ -938,6 +1208,16 @@ class MarkovChainMonteCarloMethod:
                                 pending, traces, stats, stage_trace_funcs,
                                 stage.record_stats,
                             ))
+                        if ckpt_writer is not None:
+                            # Stage-end checkpoint: the carry before
+                            # finalization, which resume replays.
+                            self._write_carry_checkpoint(
+                                ckpt_writer, stage_index,
+                                (states, chain_keys, params, adapt_states,
+                                 summary_state, offset_in_stage,
+                                 trace_offset_in_stage),
+                                sampling_index_offset, trace_index_offset,
+                            )
                     except KeyboardInterrupt:
                         interrupted = True
                         logger.info(
@@ -967,6 +1247,13 @@ class MarkovChainMonteCarloMethod:
                     )
 
                 if stage_adapters and not interrupted:
+                    if ckpt_writer is not None:
+                        # Record the finalization inputs (adapter states,
+                        # end-of-stage chain states, the key finalize will
+                        # consume) so resume can replay this reduction.
+                        ckpt_writer.write_finalize_record(
+                            stage_index, adapt_states, states, self._rng,
+                        )
                     transitions, states = self._finalize_adapters(
                         transitions, states, adapt_states, stage_adapters,
                     )
@@ -1042,6 +1329,20 @@ class MarkovChainMonteCarloMethod:
                     )
                     logger.error(msg)
                     raise AdaptationError(msg)
+
+    def _write_carry_checkpoint(self, writer, stage_index, snapshot,
+                                sampling_index_offset, trace_index_offset):
+        """Write the stage-loop carry as an atomic resumable checkpoint."""
+        (states, chain_keys, params, adapt_states, summary_state,
+         offset_in_stage, trace_offset_in_stage) = snapshot
+        writer.write_carry(
+            stage_index=stage_index, states=states, chain_keys=chain_keys,
+            params=params, adapt_states=adapt_states,
+            summary_state=summary_state, offset_in_stage=offset_in_stage,
+            trace_offset_in_stage=trace_offset_in_stage,
+            sampling_index_offset=sampling_index_offset,
+            trace_index_offset=trace_index_offset, rng=self._rng,
+        )
 
     def _finalize_adapters(self, transitions, states, adapt_states,
                            stage_adapters):

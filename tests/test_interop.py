@@ -127,6 +127,67 @@ def test_preprocess_accepts_per_chain_lists():
     assert stacked["pos"].shape == (2, 10, 3)
 
 
+def test_convert_to_arviz_dict_layout():
+    """The dependency-free export produces the exact arviz.from_dict
+    layout (reference schema mici/interop.py:54-96) without arviz."""
+    traces, stats = _traces_and_stats()
+    groups = interop.convert_to_arviz_dict(traces, stats)
+    assert set(groups) == {"posterior", "sample_stats"}
+    posterior, sample_stats = groups["posterior"], groups["sample_stats"]
+    assert posterior["pos"].shape == (2, 10, 3)
+    assert posterior["hamiltonian"].shape == (2, 10)
+    assert isinstance(posterior["pos"], np.ndarray)
+    assert "n_steps" in sample_stats and "n_step" not in sample_stats
+    assert ("acceptance_rate" in sample_stats
+            and "accept_stat" not in sample_stats)
+    np.testing.assert_array_equal(
+        sample_stats["energy"], traces["hamiltonian"],
+    )
+    # Inputs are not mutated.
+    assert "n_step" in stats and "accept_stat" in stats
+
+
+def test_convert_to_arviz_dict_key_options():
+    traces, stats = _traces_and_stats()
+    traces["log_dens"] = np.zeros((2, 10))
+    groups = interop.convert_to_arviz_dict(
+        traces, stats, energy_key=None, lp_key="log_dens",
+    )
+    assert "energy" not in groups["sample_stats"]
+    np.testing.assert_array_equal(
+        groups["sample_stats"]["lp"], traces["log_dens"],
+    )
+
+
+def test_convert_to_arviz_dict_per_chain_lists():
+    """Reference-native per-chain list format converts identically."""
+    traces = {"pos": [np.arange(6.0).reshape(3, 2),
+                      np.arange(6.0).reshape(3, 2) + 1]}
+    stats = {"accept_stat": [np.ones(3), np.ones(3)],
+             "n_step": [np.full(3, 2), np.full(3, 2)]}
+    groups = interop.convert_to_arviz_dict(traces, stats)
+    assert groups["posterior"]["pos"].shape == (2, 3, 2)
+    assert groups["sample_stats"]["n_steps"].shape == (2, 3)
+
+
+def test_outputs_to_arviz_dict_end_to_end():
+    """HMCSampleChainsOutputs.to_arviz_dict on a real sampler run."""
+    import jax.numpy as jnp
+
+    from mici_tpu import integrators, samplers, systems
+
+    system = systems.EuclideanMetricSystem(lambda q: 0.5 * jnp.sum(q**2))
+    integ = integrators.LeapfrogIntegrator(system, step_size=0.5)
+    sampler = samplers.StaticMetropolisHMC(system, integ, 42, n_step=4)
+    out = sampler.sample_chains(
+        3, 5, [np.ones(2), -np.ones(2)], display_progress=False,
+    )
+    groups = out.to_arviz_dict()
+    assert groups["posterior"]["pos"].shape == (2, 5, 2)
+    assert groups["sample_stats"]["energy"].shape == (2, 5)
+    assert groups["sample_stats"]["acceptance_rate"].shape == (2, 5)
+
+
 @pytest.mark.skipif(PYMC_AVAILABLE, reason="pymc installed")
 def test_pymc_bridge_without_pymc_raises_import_error():
     with pytest.raises(ImportError):
