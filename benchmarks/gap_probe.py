@@ -29,11 +29,26 @@ def _timed(fn, *, repeats=2):
     return best
 
 
-def measure_d2h_bandwidth(n_bytes=2 << 30):
-    n = n_bytes // 8
-    arr = jax.device_put(jnp.zeros((n,), jnp.float64))
-    arr.block_until_ready()
-    sec = _timed(lambda: jax.device_get(arr))
+def measure_d2h_bandwidth(n_bytes=256 << 20):
+    """Bulk device->host rate with full page-touch verification.
+
+    ``jax.device_get`` through the axon tunnel can return a lazily
+    materialized buffer, so the transfer is only complete once every
+    byte has been read on host (a plain ``device_get`` timed 13 TB/s).
+    Note the dev tunnel's bulk rate is wildly window-dependent —
+    measured 7 MB/s to 8 GB/s for identical fetches an hour apart
+    (docs/BENCHMARKS.md round-4) — so treat single readings as a
+    chip-state probe, not a constant.
+    """
+    n = n_bytes // 4
+    arr = jax.jit(lambda x: x * 1.000001)(jnp.zeros((n,), jnp.float32))
+    jax.block_until_ready(arr)
+    float(np.asarray(jax.device_get(arr[:8])).sum())
+
+    def fetch():
+        float(np.asarray(jax.device_get(arr)).sum())
+
+    sec = _timed(fetch)
     return n_bytes / sec / 1e9
 
 

@@ -243,6 +243,18 @@ def _propagate_system(transitions, system):
 #: (ADVICE round-3: n_warm_up_iter=60 gives fast stages {9, 6} -> chunk 6).
 _MIN_AUTO_CHUNK = 8
 
+#: Auto-chunking bound on the per-chunk device trace/statistic buffer.
+#: A whole-stage chunk holds its full trace block on device (n_chain x
+#: n_iter x trace width) and transfers it to host in one drain; capping
+#: the block keeps device memory bounded for long full-trace runs (a
+#: 4096-chain dim-100 f32 run is ~1.6 MB/iteration — a 1200-iteration
+#: whole-stage chunk would hold ~2 GB of HBM) and lets the driver's
+#: double-buffered drain overlap device->host transfer with the next
+#: chunk's compute instead of serializing one giant copy after all
+#: compute (measured: config-1 full-trace wall 269 s single-chunk vs
+#: 197 s chunked on the dev tunnel, benchmarks/gap_probe.py).
+_MAX_CHUNK_BUFFER_BYTES = 256 * 1024 * 1024
+
 
 def _auto_stage_chunks(sampling_stages, trace_thin=1):
     """Pick per-stage chunk lengths that maximize compiled-program reuse.
@@ -542,6 +554,14 @@ class HMCSampleChainsOutputs(_SampleChainsOutputs):
         )
 
 
+def _np_dtype_ok(dtype):
+    try:
+        np.dtype(dtype)
+    except TypeError:
+        return False
+    return True
+
+
 def _open_new_memmap(file_path, shape, default_value, dtype):
     """Open a new memory-mapped array, fill with value and return.
 
@@ -834,6 +854,7 @@ class MarkovChainMonteCarloMethod:
         # Allocate host buffers for traces and statistics.
         traces = None
         summary_state = None
+        per_chain_trace_bytes = 0
         if trace_funcs and n_trace_rows > 0:
             example = {}
             example_system = self._get_system()
@@ -845,6 +866,10 @@ class MarkovChainMonteCarloMethod:
                     )
                 else:
                     example.update(trace_func(example_state))
+            per_chain_trace_bytes = sum(
+                int(np.asarray(v).size) * np.asarray(v).dtype.itemsize
+                for v in example.values()
+            )
             if trace_summary:
                 summary_state = _init_trace_summary(
                     example, n_chain, summary_quantiles,
@@ -869,6 +894,13 @@ class MarkovChainMonteCarloMethod:
                 else:
                     traces[key] = np.full(shape, init, val.dtype)
         stats = {}
+        per_chain_stats_bytes = 0
+        for trans_key, transition in self.transitions.items():
+            if transition.statistic_types is not None:
+                per_chain_stats_bytes += sum(
+                    np.dtype(dtype).itemsize if _np_dtype_ok(dtype) else 8
+                    for dtype, _ in transition.statistic_types.values()
+                )
         for trans_key, transition in self.transitions.items():
             if transition.statistic_types is not None:
                 stats[trans_key] = {}
@@ -1092,6 +1124,24 @@ class MarkovChainMonteCarloMethod:
                     if chunk_size is None else chunk_size
                 )
                 chunk = min(base_chunk, stage.n_iter)
+                if chunk_size is None:
+                    # Cap the per-chunk device trace/stat buffer: bounds
+                    # HBM held by trace blocks and overlaps device->host
+                    # streaming with the next chunk's compute (see
+                    # _MAX_CHUNK_BUFFER_BYTES).
+                    bytes_per_iter = n_chain * (
+                        (per_chain_trace_bytes // trace_thin
+                         if stage.trace_funcs is not None else 0)
+                        + (per_chain_stats_bytes
+                           if stage.record_stats else 0)
+                    )
+                    if bytes_per_iter > 0:
+                        chunk = max(
+                            1, min(
+                                chunk,
+                                _MAX_CHUNK_BUFFER_BYTES // bytes_per_iter,
+                            ),
+                        )
                 if trace_thin > 1:
                     # Align chunk boundaries to thin-blocks so thinned
                     # trace rows stay contiguous across chunks.

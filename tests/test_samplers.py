@@ -180,6 +180,50 @@ def test_chunked_execution_matches_unchunked():
     )
 
 
+def test_auto_chunk_buffer_cap_bit_identical(monkeypatch):
+    """The per-chunk device-buffer byte cap splits big-trace stages into
+    several chunks without changing results (round-4: bounds HBM held by
+    trace blocks and overlaps drain with compute)."""
+    system, _ = _make_system()
+    trace_funcs = [lambda state: {"pos": state.pos,
+                                  "wide": jnp.tile(state.pos, 11)}]
+
+    def run():
+        integ = integrators.LeapfrogIntegrator(system, step_size=0.3)
+        sampler = samplers.StaticMetropolisHMC(
+            system, integ, SEED, n_step=2)
+        return sampler.sample_chains(
+            0, 40, _init_states(), trace_funcs=trace_funcs,
+            display_progress=False,
+        )
+
+    chunk_lengths = []
+    orig = samplers._run_stage_chunk
+
+    def spy(*args, **kwargs):
+        chunk_lengths.append(kwargs["n_iter"])
+        return orig(*args, **kwargs)
+
+    out_whole = run()
+    # Cap low enough that the 40-iteration main stage must split: per
+    # iteration the trace block holds N_CHAIN * (DIM + 11*DIM) floats.
+    per_iter = N_CHAIN * (DIM + 11 * DIM) * 8 + N_CHAIN * 32
+    monkeypatch.setattr(
+        samplers, "_MAX_CHUNK_BUFFER_BYTES", 10 * per_iter)
+    monkeypatch.setattr(samplers, "_run_stage_chunk", spy)
+    out_capped = run()
+    assert chunk_lengths and max(chunk_lengths) <= 10
+    assert sum(chunk_lengths) == 40
+    np.testing.assert_array_equal(
+        np.asarray(out_whole.traces["pos"]),
+        np.asarray(out_capped.traces["pos"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_whole.statistics["accept_stat"]),
+        np.asarray(out_capped.statistics["accept_stat"]),
+    )
+
+
 def test_auto_stage_chunks_groups_windowed_stages():
     """Unit test of the chunk_size=None grouping heuristic on a windowed
     warm-up layout (ADVICE round-3: the default path had no direct test).
