@@ -108,7 +108,7 @@ def measure_iteration_flops(system, integrator, n_step, dim, n_chain):
     return float(cost.get("flops", 0.0))
 
 
-def run_roofline_row(probe_rate, dim=512, n_chain=256, n_step=4,
+def run_roofline_row(probe_rate, dim=512, n_chain=None, n_step=4,
                      solver_iters=6, n_warm=4, n_main=24, n_repeat=2,
                      seed=0):
     """Run the compute-bound row through the generic driver and report
@@ -124,6 +124,10 @@ def run_roofline_row(probe_rate, dim=512, n_chain=256, n_step=4,
         per-iteration FLOPs, achieved TFLOP/s, probe-peak TFLOP/s and
         the achieved fraction.
     """
+    if n_chain is None:
+        # HBM-safe default batch per dim (metric/factor/AD buffers are
+        # O(n_chain * dim^2); 256 chains at dim 512 crashed the worker).
+        n_chain = 16 if dim >= 1024 else (64 if dim >= 512 else 256)
     sampler, system, integrator, init_states = make_roofline_setup(
         dim, n_chain, n_step, solver_iters, seed,
     )
@@ -189,8 +193,12 @@ if __name__ == "__main__":
     args = parser.parse_args()
     for dim in args.dims:
         n_chain = args.n_chain
+        # Metric + factor + AD residual buffers are O(n_chain * dim^2):
+        # 256 chains at dim 512 exhausted HBM and crashed the TPU worker
+        # (round 4), so the sweep scales the batch down with dim.
         if dim >= 1024:
-            # metric + factor buffers are O(n_chain * dim^2)
+            n_chain = min(n_chain, 16)
+        elif dim >= 512:
             n_chain = min(n_chain, 64)
         probe = bench.measure_chip_probe()
         row = run_roofline_row(

@@ -515,3 +515,165 @@ def batched_eigh(mats, *, n_sweeps=None, block=_BATCH_BLOCK,
     if n_sweeps is None:
         n_sweeps = _jacobi_sweeps(n)
     return _eigh_diff(mats, int(n_sweeps), block, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Blocked large-N batched Cholesky / triangular solves
+# ---------------------------------------------------------------------------
+
+#: Panel width for the blocked algorithms.  The lane kernels need
+#: ~4 x 128 lanes x panel^2 x 4 B of VMEM (double-buffered in + out), so
+#: 64 is the largest power-of-two panel that fits the 16 MB budget.
+_BLOCK_PANEL = 64
+
+
+def _pad_spd(mats, pad):
+    """Extend a (B, N, N) SPD batch to N+pad with an identity block."""
+    if not pad:
+        return mats
+    mats = jnp.pad(mats, ((0, 0), (0, pad), (0, pad)))
+    n = mats.shape[-1]
+    eye_tail = jnp.zeros((n,), mats.dtype).at[n - pad:].set(1.0)
+    return mats + jnp.eye(n, dtype=mats.dtype) * eye_tail
+
+
+def blocked_cholesky(mats, *, panel=_BLOCK_PANEL, interpret=None):
+    """Blocked right-looking batched Cholesky for moderate-to-large N.
+
+    The lane kernels (:func:`batched_cholesky`) map the *batch* onto the
+    TPU lane axis and are VMEM-bound above N = 64; XLA's native batched
+    Cholesky parallelizes within one matrix and only becomes efficient
+    at N >= ~1024.  In between — exactly the dense-metric Riemannian
+    regime (SURVEY §2.2 "TPU mapping") — this blocked composition wins:
+    the O(N^3) panel solves and trailing (Schur-complement) updates run
+    as plain batched MXU matmuls, and only the O(N * panel^2) diagonal
+    blocks use the lane recurrence kernel.  Measured on-chip: 3.3x XLA's
+    batched Cholesky at (B=256, N=256), 1.5x at (B=64, N=512); XLA wins
+    again by N=1024 at small batch (docs/BENCHMARKS.md round-4), hence
+    the dispatch cutoffs in :mod:`mici_tpu.ops.dispatch`.
+
+    Reverse-mode differentiable (the lane kernel's closed-form adjoint
+    composes with AD-native matmuls/solves); forward-mode is not defined
+    here — the dispatch-level :func:`mici_tpu.ops.dispatch.cholesky`
+    wraps every path in a closed-form ``custom_jvp``, which is how the
+    sampler differentiates through it.
+
+    Args:
+        mats: Array (B, N, N) of SPD matrices (lower triangle read).
+        panel: Panel width (multiple-of-8 sublane tile; default 64).
+        interpret: Force Pallas interpreter mode for the diagonal-block
+            kernel (defaults to automatic).
+
+    Returns:
+        Lower-triangular factors, shape (B, N, N).
+    """
+    b, n, _ = mats.shape
+    pad = (-n) % panel
+    a = _pad_spd(mats, pad)
+    n_pad = n + pad
+    k_panels = n_pad // panel
+    factor = jnp.zeros_like(a)
+    for k in range(k_panels):
+        s = k * panel
+        e = s + panel
+        diag_block = batched_cholesky(
+            a[:, s:e, s:e], interpret=interpret,
+        )
+        factor = factor.at[:, s:e, s:e].set(diag_block)
+        if e < n_pad:
+            # Panel solve: L[e:, s:e] = A[e:, s:e] (L_kk^T)^-1 — a
+            # batched triangular solve with panel-many right-hand sides,
+            # lowered onto the MXU.
+            panel_block = jax.lax.linalg.triangular_solve(
+                diag_block, a[:, e:, s:e],
+                left_side=False, lower=True, transpose_a=True,
+            )
+            factor = factor.at[:, e:, s:e].set(panel_block)
+            # Trailing Schur update: one batched matmul per panel.
+            a = a.at[:, e:, e:].add(
+                -jnp.matmul(panel_block, _transpose(panel_block)),
+            )
+    return factor[:, :n, :n]
+
+
+def _pad_tril(tril, rhs, pad):
+    if not pad:
+        return tril, rhs
+    tril = jnp.pad(tril, ((0, 0), (0, pad), (0, pad)))
+    n = tril.shape[-1]
+    eye_tail = jnp.zeros((n,), tril.dtype).at[n - pad:].set(1.0)
+    tril = tril + jnp.eye(n, dtype=tril.dtype) * eye_tail
+    rhs = jnp.pad(rhs, ((0, 0), (0, pad)))
+    return tril, rhs
+
+
+def blocked_tril_solve(tril, rhs, *, panel=_BLOCK_PANEL, interpret=None):
+    """Blocked forward substitution ``L x = b`` for moderate-to-large N.
+
+    Panel corrections are batched matvecs (MXU); only the panel-diagonal
+    substitutions use the lane kernel.  Same regime and differentiation
+    notes as :func:`blocked_cholesky`.
+
+    Args:
+        tril: Array (B, N, N) of lower-triangular matrices.
+        rhs: Array (B, N) of right-hand sides.
+        panel: Panel width.
+        interpret: Force Pallas interpreter mode.
+
+    Returns:
+        Solutions, shape (B, N).
+    """
+    b, n = rhs.shape
+    pad = (-n) % panel
+    tril_p, rhs_p = _pad_tril(tril, rhs, pad)
+    k_panels = (n + pad) // panel
+    sol = jnp.zeros_like(rhs_p)
+    for k in range(k_panels):
+        s = k * panel
+        e = s + panel
+        bk = rhs_p[:, s:e]
+        if k:
+            bk = bk - jnp.einsum(
+                "bij,bj->bi", tril_p[:, s:e, :s], sol[:, :s],
+            )
+        xk = batched_tril_solve(
+            tril_p[:, s:e, s:e], bk, interpret=interpret,
+        )
+        sol = sol.at[:, s:e].set(xk)
+    return sol[:, :n]
+
+
+def blocked_tril_transpose_solve(tril, rhs, *, panel=_BLOCK_PANEL,
+                                 interpret=None):
+    """Blocked back substitution ``L^T x = b`` for moderate-to-large N.
+
+    Args:
+        tril: Array (B, N, N) of lower-triangular matrices.
+        rhs: Array (B, N) of right-hand sides.
+        panel: Panel width.
+        interpret: Force Pallas interpreter mode.
+
+    Returns:
+        Solutions, shape (B, N).
+    """
+    b, n = rhs.shape
+    pad = (-n) % panel
+    tril_p, rhs_p = _pad_tril(tril, rhs, pad)
+    n_pad = n + pad
+    k_panels = n_pad // panel
+    sol = jnp.zeros_like(rhs_p)
+    for k in reversed(range(k_panels)):
+        s = k * panel
+        e = s + panel
+        bk = rhs_p[:, s:e]
+        if e < n_pad:
+            # Row block i of L^T is the transposed column block of L
+            # below the diagonal: correction = L[e:, s:e]^T x[e:].
+            bk = bk - jnp.einsum(
+                "bji,bj->bi", tril_p[:, e:, s:e], sol[:, e:],
+            )
+        xk = batched_tril_transpose_solve(
+            tril_p[:, s:e, s:e], bk, interpret=interpret,
+        )
+        sol = sol.at[:, s:e].set(xk)
+    return sol[:, :n]

@@ -45,12 +45,22 @@ from jax.custom_batching import custom_vmap
 from mici_tpu.ops import batched_linalg as _bl
 
 # Below ~256 chains the kernel's launch + layout transposes are not
-# amortized over XLA's batched kernels; above 128 rows a block of
-# matrices no longer tiles comfortably into VMEM lanes.
+# amortized over XLA's batched kernels; above 64 rows a 128-lane block
+# of matrices no longer fits the double-buffered 16 MB VMEM budget
+# (4 x 128 x N^2 x 4 B — N=128 demands 32 MB and faults at compile).
 _MIN_KERNEL_BATCH = 256
-_MAX_KERNEL_N = 128
+_MAX_KERNEL_N = 64
 
-_FORCE_MODE = None  # None (auto) | "kernel" | "xla"
+# Between the lane-kernel ceiling and N ~ 512, the blocked composition
+# (lane-kernel diagonal panels + MXU panel solves / Schur updates,
+# batched_linalg.blocked_*) beats XLA's batched factorizations: measured
+# 3.3x at (B=256, N=256) and 1.5x at (B=64, N=512); XLA's within-matrix
+# parallelism wins again by N=1024 at the small batches that fit memory
+# there (docs/BENCHMARKS.md round-4).
+_MIN_BLOCKED_BATCH = 64
+_MAX_BLOCKED_N = 512
+
+_FORCE_MODE = None  # None (auto) | "kernel" | "blocked" | "xla"
 
 
 @contextlib.contextmanager
@@ -62,7 +72,7 @@ def force_dispatch(mode):
     mode) and by benchmarks for A/B comparisons.
     """
     global _FORCE_MODE
-    if mode not in (None, "kernel", "xla"):
+    if mode not in (None, "kernel", "blocked", "xla"):
         raise ValueError(f"invalid dispatch mode: {mode!r}")
     previous = _FORCE_MODE
     _FORCE_MODE = mode
@@ -75,13 +85,26 @@ def force_dispatch(mode):
 def _use_kernel(batch, n, dtype):
     if _FORCE_MODE == "kernel":
         return True
-    if _FORCE_MODE == "xla":
+    if _FORCE_MODE in ("xla", "blocked"):
         return False
     return (
         _bl._on_tpu()
         and dtype == jnp.float32
         and batch >= _MIN_KERNEL_BATCH
         and n <= _MAX_KERNEL_N
+    )
+
+
+def _use_blocked(batch, n, dtype):
+    if _FORCE_MODE == "blocked":
+        return True
+    if _FORCE_MODE in ("xla", "kernel"):
+        return False
+    return (
+        _bl._on_tpu()
+        and dtype == jnp.float32
+        and batch >= _MIN_BLOCKED_BATCH
+        and _MAX_KERNEL_N < n <= _MAX_BLOCKED_N
     )
 
 
@@ -99,9 +122,14 @@ def _interpret_flag():
 def _chol_impl(a):
     if a.ndim > 2:
         batch = math.prod(a.shape[:-2])
-        if _use_kernel(batch, a.shape[-1], a.dtype):
+        n = a.shape[-1]
+        if _use_kernel(batch, n, a.dtype):
             flat = a.reshape((-1,) + a.shape[-2:])
             out = _bl.batched_cholesky(flat, interpret=_interpret_flag())
+            return out.reshape(a.shape)
+        if _use_blocked(batch, n, a.dtype):
+            flat = a.reshape((-1,) + a.shape[-2:])
+            out = _bl.blocked_cholesky(flat, interpret=_interpret_flag())
             return out.reshape(a.shape)
     return jnp.linalg.cholesky(a)
 
@@ -172,7 +200,10 @@ def _xla_tri_solve_vec(a, b, lower, trans):
 def _tri_solve_impl(a, b, lower, trans):
     if a.ndim > 2 and a.shape[:-2] == b.shape[:-1]:
         batch = math.prod(a.shape[:-2])
-        if _use_kernel(batch, a.shape[-1], a.dtype):
+        n = a.shape[-1]
+        use_kernel = _use_kernel(batch, n, a.dtype)
+        use_blocked = not use_kernel and _use_blocked(batch, n, a.dtype)
+        if use_kernel or use_blocked:
             af = a.reshape((-1,) + a.shape[-2:])
             bf = b.reshape((-1, b.shape[-1]))
             interpret = _interpret_flag()
@@ -181,12 +212,11 @@ def _tri_solve_impl(a, b, lower, trans):
                 # its transpose: U x = b  <=>  (U^T)^T x = b.
                 af = jnp.swapaxes(af, -2, -1)
                 trans = not trans
-            if trans:
-                out = _bl.batched_tril_transpose_solve(
-                    af, bf, interpret=interpret,
-                )
-            else:
-                out = _bl.batched_tril_solve(af, bf, interpret=interpret)
+            fwd = (_bl.batched_tril_solve if use_kernel
+                   else _bl.blocked_tril_solve)
+            bwd = (_bl.batched_tril_transpose_solve if use_kernel
+                   else _bl.blocked_tril_transpose_solve)
+            out = (bwd if trans else fwd)(af, bf, interpret=interpret)
             return out.reshape(b.shape)
     return _xla_tri_solve_vec(a, b, lower, trans)
 

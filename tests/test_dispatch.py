@@ -304,3 +304,59 @@ def test_eigh_vmapped_gradient_kernel_matches_xla():
     g_ref = jax.grad(loss_with(jnp.linalg.eigh))(sym)
     np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref),
                                atol=1e-7)
+
+
+def test_cholesky_blocked_mode_matches_xla():
+    """force_dispatch("blocked") routes through the blocked composition
+    with identical results and gradients (large-N dispatch path)."""
+    spd = jnp.asarray(_spd_batch(4, 70, SEED + 21))
+    with ops.force_dispatch("blocked"):
+        out = jax.vmap(ops.cholesky)(spd)
+    np.testing.assert_allclose(
+        np.asarray(out), np.linalg.cholesky(np.asarray(spd)), atol=1e-8)
+
+    def loss(m, mode):
+        with ops.force_dispatch(mode):
+            return jnp.sum(jnp.log(jnp.diagonal(
+                jax.vmap(ops.cholesky)(m), axis1=-2, axis2=-1)))
+
+    g_blocked = jax.grad(loss)(spd, "blocked")
+    g_xla = jax.grad(loss)(spd, "xla")
+    np.testing.assert_allclose(
+        np.asarray(g_blocked), np.asarray(g_xla), atol=1e-8)
+
+
+@pytest.mark.parametrize("trans", [False, True])
+def test_solve_triangular_vec_blocked_mode(trans):
+    spd = _spd_batch(4, 70, SEED + 22)
+    tril = jnp.asarray(np.linalg.cholesky(spd))
+    rng = np.random.default_rng(SEED + 23)
+    rhs = jnp.asarray(rng.standard_normal((4, 70)))
+    with ops.force_dispatch("blocked"):
+        out = ops.solve_triangular_vec(tril, rhs, lower=True, trans=trans)
+    with ops.force_dispatch("xla"):
+        ref = ops.solve_triangular_vec(tril, rhs, lower=True, trans=trans)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-8)
+
+
+def test_dispatch_size_policy():
+    """Auto policy: lane kernel to N=64, blocked to N=512 (batch-gated),
+    XLA elsewhere (dispatch.py cutoffs; the N=128 lane-kernel VMEM fault
+    motivated the 64 ceiling)."""
+    import jax.numpy as jnp_
+
+    from mici_tpu.ops import dispatch as d
+
+    orig = d._bl._on_tpu
+    d._bl._on_tpu = lambda: True
+    try:
+        assert d._use_kernel(1024, 64, jnp_.float32)
+        assert not d._use_kernel(1024, 65, jnp_.float32)
+        assert not d._use_kernel(64, 64, jnp_.float32)
+        assert d._use_blocked(64, 65, jnp_.float32)
+        assert d._use_blocked(256, 512, jnp_.float32)
+        assert not d._use_blocked(256, 513, jnp_.float32)
+        assert not d._use_blocked(32, 256, jnp_.float32)
+        assert not d._use_blocked(256, 64, jnp_.float32)
+    finally:
+        d._bl._on_tpu = orig
