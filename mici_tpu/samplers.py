@@ -251,9 +251,11 @@ _MIN_AUTO_CHUNK = 8
 #: whole-stage chunk would hold ~2 GB of HBM) and lets the driver's
 #: double-buffered drain overlap device->host transfer with the next
 #: chunk's compute instead of serializing one giant copy after all
-#: compute (measured: config-1 full-trace wall 269 s single-chunk vs
-#: 197 s chunked on the dev tunnel, benchmarks/gap_probe.py).
-_MAX_CHUNK_BUFFER_BYTES = 256 * 1024 * 1024
+#: compute.  Measured on-chip A/B at the config-1 bench shape
+#: (4096 chains, 8-dim traces + stats, same window): 256 MB -> 35.1 s,
+#: 64 MB -> 24.5 s, 32 MB -> 30.4 s — 64 MB balances overlap
+#: granularity against per-chunk dispatch/fetch round trips.
+_MAX_CHUNK_BUFFER_BYTES = 64 * 1024 * 1024
 
 
 def _auto_stage_chunks(sampling_stages, trace_thin=1):
