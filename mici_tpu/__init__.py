@@ -14,6 +14,7 @@ __version__ = "0.1.0"
 from mici_tpu import (  # noqa: F401
     adapters,
     autodiff,
+    checkpoint,
     diagnostics,
     errors,
     integrators,
