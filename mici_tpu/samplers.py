@@ -115,7 +115,7 @@ default_hamiltonian_trace_func = SystemTraceFunc(
 )
 
 
-def _init_trace_summary(example, n_chain, quantiles=()):
+def _init_trace_summary(example, n_chain, quantiles=(), ess_batch=0):
     """Host-side zero state for per-chain running trace summaries.
 
     One Welford accumulator (count/mean/M2) plus running min/max per
@@ -124,7 +124,10 @@ def _init_trace_summary(example, n_chain, quantiles=()):
     uploaded to device once and threaded through the compiled stage
     chunks (ROADMAP: on-device running-moment trace summaries — the
     complement of ``trace_thin`` for runs where even thinned traces
-    exceed host budgets).
+    exceed host budgets).  With ``ess_batch > 0`` the state additionally
+    carries streaming batch-means accumulators (current-batch sum +
+    Welford over completed batch means) for on-device effective sample
+    size estimation with zero trace storage.
     """
     summary = {}
     for key, val in example.items():
@@ -141,12 +144,17 @@ def _init_trace_summary(example, n_chain, quantiles=()):
         }
         if quantiles:
             summary[key]["p2"] = sketches.p2_init(shape, quantiles, fdtype)
+        if ess_batch:
+            summary[key]["bm_sum"] = np.zeros(shape, fdtype)
+            summary[key]["bm_count"] = np.zeros(n_chain, np.int32)
+            summary[key]["bm_mean"] = np.zeros(shape, fdtype)
+            summary[key]["bm_m2"] = np.zeros(shape, fdtype)
     return summary
 
 
-def _update_trace_summary(summary, traces, quantiles=()):
-    """One Welford + extrema (+ P² sketch) step per trace key (inside
-    the scan body)."""
+def _update_trace_summary(summary, traces, quantiles=(), ess_batch=0):
+    """One Welford + extrema (+ P² sketch, + batch-means) step per trace
+    key (inside the scan body)."""
     new = {}
     for key, s in summary.items():
         x = traces[key].astype(s["mean"].dtype)
@@ -162,13 +170,35 @@ def _update_trace_summary(summary, traces, quantiles=()):
         }
         if quantiles:
             new[key]["p2"] = sketches.p2_update(s["p2"], x, quantiles)
+        if ess_batch:
+            # Streaming batch means: accumulate the current length-M
+            # batch; at each batch boundary fold its mean into a second
+            # Welford accumulator and reset.  Branch-free (the boundary
+            # predicate is a per-chain scalar select).
+            fdtype = s["mean"].dtype
+            bm_sum = s["bm_sum"] + x
+            boundary = (cnt % ess_batch) == 0
+            bmean = bm_sum / jnp.asarray(ess_batch, fdtype)
+            bcnt = s["bm_count"] + boundary.astype(s["bm_count"].dtype)
+            bdelta = bmean - s["bm_mean"]
+            bmean_new = s["bm_mean"] + bdelta / jnp.maximum(
+                bcnt, 1).astype(fdtype)
+            bm2_new = s["bm_m2"] + bdelta * (bmean - bmean_new)
+            new[key]["bm_sum"] = jnp.where(
+                boundary, jnp.zeros_like(bm_sum), bm_sum)
+            new[key]["bm_count"] = bcnt
+            new[key]["bm_mean"] = jnp.where(
+                boundary, bmean_new, s["bm_mean"])
+            new[key]["bm_m2"] = jnp.where(boundary, bm2_new, s["bm_m2"])
     return new
 
 
-def _finalize_trace_summary(summary, quantiles=()):
+def _finalize_trace_summary(summary, quantiles=(), ess_batch=0):
     """Fetch and convert device summary state to {mean, var, min, max,
-    count[, quantiles]} numpy dicts (variance NaN where fewer than 2
-    samples; quantile estimates are P² approximations)."""
+    count[, quantiles][, ess]} numpy dicts (variance NaN where fewer
+    than 2 samples; quantile estimates are P² approximations; ESS is
+    the batch-means estimator ``n_used / (M var_bm / var_x)``, NaN
+    where fewer than 2 completed batches)."""
     summary = jax.device_get(summary)
     out = {}
     for key, s in summary.items():
@@ -189,6 +219,22 @@ def _finalize_trace_summary(summary, quantiles=()):
             out[key]["quantiles"] = sketches.p2_estimate(
                 s["p2"], quantiles,
             )
+        if ess_batch:
+            n_b = s["bm_count"]
+            nb = n_b.reshape(n_b.shape + (1,) * (s["bm_m2"].ndim - 1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                var_bm = np.where(
+                    nb > 1, s["bm_m2"] / np.maximum(nb - 1, 1), np.nan,
+                )
+                # Integrated autocorrelation time ~ M var_bm / var_x;
+                # ESS over the iterations covered by completed batches.
+                tau = ess_batch * var_bm / var
+                ess = np.where(
+                    (nb > 1) & (var > 0) & (tau > 0),
+                    (nb * ess_batch) / tau, np.nan,
+                )
+            out[key]["ess"] = ess
+            out[key]["ess_batch_len"] = ess_batch
     return out
 
 
@@ -337,14 +383,14 @@ def _auto_stage_chunks(sampling_stages, trace_thin=1):
     jax.jit,
     static_argnames=(
         "trans_keys", "adapters", "trace_funcs", "n_iter", "trace_thin",
-        "summarize", "summary_quantiles",
+        "summarize", "summary_quantiles", "summary_ess",
     ),
 )
 @_engine_precision
 def _run_stage_chunk(transitions, states, keys, params, adapt_states,
                      summary=None, *, trans_keys, adapters, trace_funcs,
                      n_iter, trace_thin=1, summarize=False,
-                     summary_quantiles=()):
+                     summary_quantiles=(), summary_ess=0):
     """Run ``n_iter`` iterations for all chains (vmapped scan).
 
     The compiled replacement for the reference's per-chain iteration loop
@@ -432,7 +478,7 @@ def _run_stage_chunk(transitions, states, keys, params, adapt_states,
         if summarize:
             summary = jax.vmap(
                 lambda s, t: _update_trace_summary(
-                    s, t, summary_quantiles,
+                    s, t, summary_quantiles, summary_ess,
                 ),
             )(summary, traces)
         out_traces = {} if summarize == "only" else traces
@@ -653,6 +699,7 @@ class MarkovChainMonteCarloMethod:
                       display_progress=True, progress_bar_class=None,
                       chunk_size=None, mesh=None, trace_thin=1,
                       trace_summary=False, trace_summary_quantiles=None,
+                      trace_summary_ess=None,
                       checkpoint=False, resume_from=None,
                       n_worker=1, n_process=None,
                       use_thread_pool=False, max_threads_per_worker=None):
@@ -716,6 +763,19 @@ class MarkovChainMonteCarloMethod:
                 1985) per chain and trace element under ``"quantiles"``
                 (with ``"quantile_levels"``); implies
                 ``trace_summary=True`` when it was left as False.
+            trace_summary_ess: Optional batch length ``M >= 2`` (or
+                ``True`` for the default 64).  When given, the on-device
+                summaries additionally carry a streaming batch-means
+                effective-sample-size estimate per chain and trace
+                element under ``"ess"`` (integrated autocorrelation time
+                estimated as ``M var(batch means) / var(x)`` over
+                completed batches): ESS measurement with zero trace
+                storage or device->host trace streaming — combine with
+                ``trace_summary="only"`` for massive runs.  Choose
+                ``M`` well above the kernel's autocorrelation time (the
+                estimator is biased low when batches are shorter than
+                the correlation length).  Implies ``trace_summary=True``
+                when it was left as False.
             checkpoint: Write a resumable checkpoint after every drained
                 chunk (and at stage boundaries) under
                 ``<memmap_path>/checkpoint/``.  Requires ``memmap_path``
@@ -852,6 +912,17 @@ class MarkovChainMonteCarloMethod:
                 trace_summary = True
         else:
             summary_quantiles = ()
+        if trace_summary_ess is not None and trace_summary_ess is not False:
+            summary_ess = (64 if trace_summary_ess is True
+                           else int(trace_summary_ess))
+            if summary_ess < 2:
+                msg = ("trace_summary_ess must be a batch length >= 2 "
+                       "(or True for the default).")
+                raise ValueError(msg)
+            if trace_summary is False:
+                trace_summary = True
+        else:
+            summary_ess = 0
 
         # Allocate host buffers for traces and statistics.
         traces = None
@@ -874,7 +945,7 @@ class MarkovChainMonteCarloMethod:
             )
             if trace_summary:
                 summary_state = _init_trace_summary(
-                    example, n_chain, summary_quantiles,
+                    example, n_chain, summary_quantiles, summary_ess,
                 )
             traces = {} if trace_summary != "only" else None
             for key, val in (
@@ -982,6 +1053,7 @@ class MarkovChainMonteCarloMethod:
                 ],
                 "trace_keys": sorted(traces) if traces is not None else [],
                 "stat_keys": {k: sorted(v) for k, v in stats.items()},
+                "trace_summary_ess": int(summary_ess),
             }
             if loaded_ckpt is not None:
                 loaded_ckpt.validate_meta(ckpt_meta)
@@ -1209,6 +1281,7 @@ class MarkovChainMonteCarloMethod:
                                         and stage_trace_funcs is not None)
                                     else False),
                                 summary_quantiles=summary_quantiles,
+                                summary_ess=summary_ess,
                             )
                             if pending is not None:
                                 merge_flags(self._drain_chunk(
@@ -1328,7 +1401,8 @@ class MarkovChainMonteCarloMethod:
         self._transitions = transitions
         final_states = _unstack_states(jax.device_get(states), n_chain)
         trace_summaries = (
-            _finalize_trace_summary(summary_state, summary_quantiles)
+            _finalize_trace_summary(
+                summary_state, summary_quantiles, summary_ess)
             if summary_state is not None else None)
         return MCMCSampleChainsOutputs(
             final_states, traces, stats, trace_summaries)
