@@ -243,3 +243,77 @@ class LoadedCheckpoint:
 
 def checkpoint_dir(memmap_path):
     return Path(memmap_path) / "checkpoint"
+
+
+def describe(memmap_path):
+    """Human-readable summary of a run's checkpoint state.
+
+    Returns a list of text lines describing the run fingerprint, the
+    resume position (stage / iteration cursors), and the finalization
+    records present — without touching any device state.
+    """
+    loaded = LoadedCheckpoint(checkpoint_dir(memmap_path))
+    meta, carry = loaded.meta, loaded.carry
+    stages = meta.get("stages", [])
+    lines = [
+        f"checkpoint under {checkpoint_dir(memmap_path)}",
+        f"  run: {meta.get('n_chain')} chains, "
+        f"{meta.get('n_warm_up_iter')} warm-up + "
+        f"{meta.get('n_main_iter')} main iterations, "
+        f"trace_thin={meta.get('trace_thin')}",
+        f"  traced: {', '.join(meta.get('trace_keys', [])) or '(none)'}",
+        f"  stages ({len(stages)}):",
+    ]
+    for index, (label, n_iter, has_adapters, _rec, _tf) in enumerate(
+            stages):
+        marker = " "
+        if index < carry["stage_index"]:
+            marker = "x"
+        elif index == carry["stage_index"]:
+            done = carry["offset_in_stage"]
+            marker = "x" if done >= n_iter else ">"
+        suffix = " [adaptive]" if has_adapters else ""
+        lines.append(f"    [{marker}] {label}: {n_iter} iter{suffix}")
+    stage_index = carry["stage_index"]
+    label = stages[stage_index][0] if stage_index < len(stages) else "?"
+    lines.append(
+        f"  resume position: stage {stage_index} ({label!r}) at "
+        f"iteration {carry['offset_in_stage']}"
+        f" / trace row {carry['trace_offset_in_stage']}",
+    )
+    lines.append(
+        f"  finalization records: "
+        f"{sorted(loaded.finalize_records) or '(none)'}",
+    )
+    lines.append(
+        "  resume with: sample_chains(..., "
+        f"resume_from={str(memmap_path)!r})",
+    )
+    return lines
+
+
+def _main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="python -m mici_tpu.checkpoint",
+        description="Inspect a sample_chains checkpoint directory.",
+    )
+    parser.add_argument(
+        "memmap_path",
+        help="The memmap_path of the checkpointed run.",
+    )
+    args = parser.parse_args(argv)
+    try:
+        lines = describe(args.memmap_path)
+    except CheckpointError as exc:
+        print(f"error: {exc}")
+        return 1
+    print("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via _main test
+    import sys
+
+    sys.exit(_main())

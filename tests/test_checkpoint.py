@@ -259,3 +259,28 @@ def test_completed_run_resume_returns_final_states(tmp_path):
         **_sample_kwargs(run_dir, resume_from=str(run_dir)),
     )
     _assert_outputs_equal(reference, resumed)
+
+
+def test_describe_and_cli(tmp_path, capsys):
+    kill_dir = tmp_path / "kill"
+    kill_dir.mkdir()
+    killed_sampler = _make_sampler()
+    killed_sampler.sample_chains(
+        N_WARM_UP, N_MAIN, _init_states(),
+        **_sample_kwargs(
+            kill_dir, display_progress=True,
+            progress_bar_class=_KillAfter(4),
+        ),
+    )
+    lines = checkpoint_mod.describe(str(kill_dir))
+    text = "\n".join(lines)
+    assert f"{N_CHAIN} chains" in text
+    assert "resume position: stage" in text
+    assert "resume_from=" in text
+
+    assert checkpoint_mod._main([str(kill_dir)]) == 0
+    out = capsys.readouterr().out
+    assert "resume position" in out
+
+    assert checkpoint_mod._main([str(tmp_path / "nowhere")]) == 1
+    assert "error:" in capsys.readouterr().out
