@@ -19,12 +19,15 @@ from mici_tpu.ops.batched_linalg import (  # noqa: F401
     batched_cholesky_solve,
     batched_tril_solve,
     batched_tril_transpose_solve,
+    batched_eigh,
     blocked_cholesky,
+    blocked_eigh,
     blocked_tril_solve,
     blocked_tril_transpose_solve,
 )
 from mici_tpu.ops.dispatch import (  # noqa: F401
     cholesky,
+    eigh,
     force_dispatch,
     solve_triangular_vec,
 )

@@ -372,41 +372,62 @@ def _jacobi_sweeps(n):
     return 6 if n <= 8 else (8 if n <= 16 else 10)
 
 
-def _jacobi_eigh_kernel(n, n_sweeps, a_ref, w_ref, v_ref):
+def _jacobi_eigh_kernel(n, n_sweeps, a_ref, w_ref, v_ref, a_s):
     # Cyclic Jacobi with the batch in the lane axis; refs (N, N, Bc) /
-    # (N, Bc) / (N, N, Bc).  Rotation pairs unroll (static p, q); sweeps
-    # run in a fori_loop so the kernel body stays one-sweep-sized.
-    a0 = a_ref[...]
-    bc = a0.shape[-1]
+    # (N, Bc) / (N, N, Bc) + an (N, N, Bc) VMEM scratch holding the
+    # working matrix.  Rotation pairs unroll (static p, q); sweeps run
+    # in a fori_loop so the kernel body stays one-sweep-sized.  All
+    # row/column updates are static-index *ref* stores — value-level
+    # ``.at[].set`` lowers to scatter, which Mosaic TC kernels do not
+    # support (the Cholesky kernels above use the same store style).
+    bc = a_ref.shape[-1]
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    ).astype(a0.dtype)
-    v0 = jnp.broadcast_to(eye[:, :, None], (n, n, bc))
+    ).astype(a_ref.dtype)
+    a_s[...] = a_ref[...]
+    v_ref[...] = jnp.broadcast_to(eye[:, :, None], (n, n, bc))
 
     def sweep(_, carry):
-        a, v = carry
         for p in range(n - 1):
             for q in range(p + 1, n):
-                apq = a[p, q, :]
-                theta = 0.5 * jnp.arctan2(
-                    2.0 * apq, a[p, p, :] - a[q, q, :],
+                apq = a_s[p, q, :]
+                # Rotation angle theta = atan2(2 a_pq, a_pp - a_qq) / 2,
+                # computed without atan2/cos/sin (unsupported in Mosaic
+                # lowering): with y = 2 a_pq, x = a_pp - a_qq and
+                # r = hypot(x, y), the well-conditioned half-angle
+                # tangent is t = y / (r + x) for x >= 0 and
+                # t = (r - x) / y otherwise; then c = 1 / sqrt(1 + t^2),
+                # s = t c.  y == 0 means nothing to annihilate: identity.
+                y = 2.0 * apq
+                x = a_s[p, p, :] - a_s[q, q, :]
+                r = jnp.sqrt(x * x + y * y)
+                nonzero = y != 0.0
+                safe_y = jnp.where(nonzero, y, 1.0)
+                t = jnp.where(
+                    x >= 0.0,
+                    safe_y / jnp.where(r + x > 0.0, r + x, 1.0),
+                    (r - x) / safe_y,
                 )
-                c, s = jnp.cos(theta), jnp.sin(theta)
-                row_p = c * a[p, :, :] + s * a[q, :, :]
-                row_q = -s * a[p, :, :] + c * a[q, :, :]
-                a = a.at[p, :, :].set(row_p).at[q, :, :].set(row_q)
-                col_p = c * a[:, p, :] + s * a[:, q, :]
-                col_q = -s * a[:, p, :] + c * a[:, q, :]
-                a = a.at[:, p, :].set(col_p).at[:, q, :].set(col_q)
-                vcol_p = c * v[:, p, :] + s * v[:, q, :]
-                vcol_q = -s * v[:, p, :] + c * v[:, q, :]
-                v = v.at[:, p, :].set(vcol_p).at[:, q, :].set(vcol_q)
-        return a, v
+                t = jnp.where(nonzero, t, 0.0)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                row_p = c * a_s[p, :, :] + s * a_s[q, :, :]
+                row_q = -s * a_s[p, :, :] + c * a_s[q, :, :]
+                a_s[p, :, :] = row_p
+                a_s[q, :, :] = row_q
+                col_p = c * a_s[:, p, :] + s * a_s[:, q, :]
+                col_q = -s * a_s[:, p, :] + c * a_s[:, q, :]
+                a_s[:, p, :] = col_p
+                a_s[:, q, :] = col_q
+                vcol_p = c * v_ref[:, p, :] + s * v_ref[:, q, :]
+                vcol_q = -s * v_ref[:, p, :] + c * v_ref[:, q, :]
+                v_ref[:, p, :] = vcol_p
+                v_ref[:, q, :] = vcol_q
+        return carry
 
-    a, v = jax.lax.fori_loop(0, n_sweeps, sweep, (a0, v0))
-    w_ref[...] = jnp.stack([a[i, i, :] for i in range(n)])
-    v_ref[...] = v
+    jax.lax.fori_loop(0, n_sweeps, sweep, 0)
+    w_ref[...] = jnp.stack([a_s[i, i, :] for i in range(n)])
 
 
 @functools.partial(
@@ -415,8 +436,9 @@ def _batched_jacobi_eigh_lanes(mats_lanes, n_sweeps, block=_BATCH_BLOCK,
                                interpret=False):
     """Jacobi eigendecomposition of (N, N, B) batch-minor matrices."""
     n = mats_lanes.shape[0]
-    # two (N, N, block) buffers + one (N, block) live per grid step
-    block = _auto_block(n, 2 * mats_lanes.dtype.itemsize, block)
+    # three (N, N, block) buffers (in + vectors out + scratch) plus one
+    # (N, block) live per grid step
+    block = _auto_block(n, 3 * mats_lanes.dtype.itemsize, block)
     padded, b = _pad_batch(mats_lanes, block)
     grid = (padded.shape[-1] // block,)
     w, v = pl.pallas_call(
@@ -434,6 +456,7 @@ def _batched_jacobi_eigh_lanes(mats_lanes, n_sweeps, block=_BATCH_BLOCK,
             pl.BlockSpec((n, n, block), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[pltpu.VMEM((n, n, block), padded.dtype)],
         interpret=interpret,
     )(padded)
     return w[..., :b], v[..., :b]
@@ -677,3 +700,194 @@ def blocked_tril_transpose_solve(tril, rhs, *, panel=_BLOCK_PANEL,
         )
         sol = sol.at[:, s:e].set(xk)
     return sol[:, :n]
+
+# ---------------------------------------------------------------------------
+# Blocked large-N batched symmetric eigendecomposition (parallel block
+# Jacobi)
+# ---------------------------------------------------------------------------
+
+#: Half-pair width for the blocked Jacobi: pivot subproblems are
+#: ``2 * _EIGH_PAIR_HALF`` = 32-wide, exactly the lane-kernel eigh ceiling
+#: (:data:`mici_tpu.ops.dispatch._MAX_EIGH_KERNEL_N`).
+_EIGH_PAIR_HALF = 16
+
+#: Fixed ceiling on block-Jacobi sweeps; the loop exits early on an
+#: off-diagonal-norm criterion (block Jacobi converges quadratically once
+#: the off-diagonal mass is small, like the scalar method).
+_BLOCKED_EIGH_MAX_SWEEPS = 14
+
+
+@functools.cache
+def _block_jacobi_schedule(n, half):
+    """Element-permutation tables for one round-robin block-Jacobi sweep.
+
+    Partition ``n`` (a multiple of ``2 * half``) into ``m = n // half``
+    blocks and pair them with the standard circle (round-robin
+    tournament) method: ``m - 1`` rounds, each pairing all ``m`` blocks
+    into ``m / 2`` disjoint pivot pairs, so one sweep visits every
+    off-diagonal block pair exactly once.  Returns ``(perm, inv)`` int32
+    arrays of shape ``(m - 1, n)``: ``perm[r]`` reorders elements so the
+    round-``r`` pivot subproblems are the consecutive ``2 * half``-wide
+    diagonal blocks of ``A[perm][:, perm]``; ``inv[r]`` undoes it.
+    """
+    import numpy as np
+
+    m = n // half
+    others = list(range(1, m))
+    perms = np.empty((m - 1, n), dtype=np.int32)
+    for r in range(m - 1):
+        ring = [0, *others]
+        order = []
+        for i in range(m // 2):
+            p, q = ring[i], ring[m - 1 - i]
+            # Each pair MUST be ordered by original block index: the
+            # pivot eigh sorts eigenvalues ascending within the pair, so
+            # pair order defines where they land.  Consistent (min, max)
+            # ordering makes every round sort toward one global order
+            # and the method converges like cyclic sorted Jacobi;
+            # inconsistent ordering makes near-diagonal pivots return
+            # pure permutation rotations that shuffle off-diagonal mass
+            # forever (measured: off-norm stalls after sweep 1).
+            order.extend((p, q) if p < q else (q, p))
+        base = np.asarray(order, dtype=np.int32) * half
+        perms[r] = (base[:, None] + np.arange(half, dtype=np.int32)).ravel()
+        others = others[1:] + others[:1]
+    invs = np.argsort(perms, axis=1).astype(np.int32)
+    return jnp.asarray(perms), jnp.asarray(invs)
+
+
+def _pad_symmetric_separated(mats, pad):
+    """Extend (B, N, N) symmetric batch with a decoupled diagonal tail
+    whose entries sit strictly above every input eigenvalue (per-matrix
+    Gershgorin bound), so the padding's eigenpairs are exactly the top
+    ``pad`` after ascending sort and never mix with genuine ones."""
+    if not pad:
+        return mats
+    bound = jnp.max(jnp.sum(jnp.abs(mats), axis=-1), axis=-1)  # (B,)
+    n = mats.shape[-1] + pad
+    tail_vals = 2.0 * jnp.maximum(bound, 1.0)[:, None] * (
+        1.0 + jnp.arange(1, pad + 1, dtype=mats.dtype)
+    )  # (B, pad), distinct and > spectral radius
+    mats = jnp.pad(mats, ((0, 0), (0, pad), (0, pad)))
+    tail = jnp.zeros((mats.shape[0], n), mats.dtype)
+    tail = tail.at[:, n - pad:].set(tail_vals)
+    return mats + jnp.eye(n, dtype=mats.dtype) * tail[:, None, :]
+
+
+def blocked_eigh(mats, *, max_sweeps=_BLOCKED_EIGH_MAX_SWEEPS,
+                 pivot=None, interpret=None):
+    """Blocked batched symmetric eigendecomposition for moderate-to-large N.
+
+    Parallel (round-robin) two-sided **block Jacobi**: each round gathers
+    the batch's ``m / 2`` disjoint 32x32 pivot subproblems — solved
+    exactly with the lane-kernel :func:`batched_eigh` at batch
+    ``B * m / 2`` — and applies all the resulting rotations at once as
+    block-structured batched matmuls on the MXU (the same composition
+    idea as :func:`blocked_cholesky`: lane kernels for the O(N * b^2)
+    pivot work, matmuls for the O(N^2 * b) updates).  Sweeps repeat under
+    a ``while_loop`` until the worst off-diagonal Frobenius fraction in
+    the batch falls below ~30 f32 ulps (block Jacobi inherits scalar
+    Jacobi's quadratic convergence), up to ``max_sweeps``.
+
+    This is the large-N continuation of the SoftAbs-metric eigh story
+    (reference kernel: mici/matrices.py:1631-1685): XLA's QDWH ``eigh``
+    parallelizes within one matrix and collapses on big batches of
+    mid-sized matrices (measured 469 ms for B=256, N=256 — ~40x slower
+    than the round-4 blocked Cholesky on the same shape).  Not
+    differentiable itself; :func:`mici_tpu.ops.dispatch.eigh` wraps every
+    path in the closed-form symmetric-eigh ``custom_jvp``.
+
+    Args:
+        mats: Array (B, N, N) of symmetric matrices, N > 32 (both
+            triangles read; symmetrized internally per sweep).
+        max_sweeps: Sweep ceiling for the convergence loop.
+        pivot: Pivot-subproblem solver — ``"kernel"`` (lane-kernel
+            :func:`batched_eigh`), ``"xla"`` (``jnp.linalg.eigh``) or
+            ``None`` (kernel on TPU, XLA elsewhere; the interpreted
+            kernel would dominate CPU test wall time).
+        interpret: Force Pallas interpreter mode for the pivot kernel.
+
+    Returns:
+        Tuple ``(eigenvalues, eigenvectors)`` of shapes (B, N) ascending
+        and (B, N, N) with eigenvectors as columns.
+    """
+    b_sz, n_in, _ = mats.shape
+    dtype = mats.dtype
+    if pivot is None:
+        pivot = "kernel" if _on_tpu() else "xla"
+    if pivot not in ("kernel", "xla"):
+        raise ValueError(f"invalid pivot solver: {pivot!r}")
+    pair = 2 * _EIGH_PAIR_HALF
+    pad = (-n_in) % pair
+    a0 = _pad_symmetric_separated(mats, pad)
+    n = n_in + pad
+    m = n // _EIGH_PAIR_HALF
+    k = m // 2  # pivot pairs per round
+    perms, invs = _block_jacobi_schedule(n, _EIGH_PAIR_HALF)
+    eps = jnp.finfo(dtype).eps
+    # Scale-free stopping rule on the whole batch.
+    norm0 = jnp.maximum(
+        jnp.sqrt(jnp.sum(jnp.square(a0), axis=(-2, -1))), eps)
+    eye = jnp.eye(n, dtype=dtype)
+
+    def _off_frac(a):
+        off = a * (1.0 - eye)
+        return jnp.max(
+            jnp.sqrt(jnp.sum(jnp.square(off), axis=(-2, -1))) / norm0)
+
+    def _round(r, carry):
+        a, v = carry
+        perm = perms[r]
+        inv = invs[r]
+        ap = jnp.take(jnp.take(a, perm, axis=1), perm, axis=2)
+        # Pivot subproblems: consecutive 32x32 diagonal blocks.
+        blocks = ap.reshape(b_sz, k, pair, k, pair)
+        idx = jnp.arange(k)
+        subs = blocks[:, idx, :, idx, :]          # (k, B, 32, 32)
+        subs = jnp.moveaxis(subs, 0, 1).reshape(b_sz * k, pair, pair)
+        subs = (subs + jnp.swapaxes(subs, -2, -1)) / 2
+        if pivot == "kernel":
+            _, rot = batched_eigh(subs, interpret=interpret)
+        else:
+            _, rot = jnp.linalg.eigh(subs)
+        rot = rot.reshape(b_sz, k, pair, pair)
+        # Two-sided update A <- R^T A R with R = blockdiag(rot) in the
+        # permuted layout: row stripes then column stripes, each one
+        # batched (32 x 32) @ (32 x N) MXU matmul per pivot pair.
+        rows = ap.reshape(b_sz, k, pair, n)
+        rows = jnp.einsum("bkij,bkin->bkjn", rot, rows)
+        cols = rows.reshape(b_sz, n, k, pair)
+        cols = jnp.einsum("bnki,bkij->bnkj", cols, rot)
+        ap = cols.reshape(b_sz, n, n)
+        a = jnp.take(jnp.take(ap, inv, axis=1), inv, axis=2)
+        # Accumulate eigenvectors: V <- V R (columns only).
+        vp = jnp.take(v, perm, axis=2).reshape(b_sz, n, k, pair)
+        vp = jnp.einsum("bnki,bkij->bnkj", vp, rot)
+        v = jnp.take(vp.reshape(b_sz, n, n), inv, axis=2)
+        return a, v
+
+    def _sweep(carry):
+        a, v, sweep = carry
+        a, v = jax.lax.fori_loop(0, m - 1, _round, (a, v))
+        a = (a + jnp.swapaxes(a, -2, -1)) / 2
+        return a, v, sweep + 1
+
+    def _continue(carry):
+        a, _, sweep = carry
+        return jnp.logical_and(sweep < max_sweeps, _off_frac(a) > 30 * eps)
+
+    v0 = jnp.broadcast_to(eye, a0.shape)
+    a, v, _ = jax.lax.while_loop(
+        _continue, _sweep, (a0, v0, jnp.asarray(0, jnp.int32)))
+
+    w = jnp.diagonal(a, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    v = jnp.take_along_axis(v, order[:, None, :], axis=-1)
+    if pad:
+        # Padding eigenpairs are the strictly-largest `pad` by
+        # construction; genuine eigenvectors have (numerically) zero
+        # padding components, so slicing preserves orthonormality.
+        w = w[:, :n_in]
+        v = v[:, :n_in, :n_in]
+    return w, v

@@ -302,13 +302,32 @@ def solve_triangular_vec(a, b, *, lower=True, trans=False):
 _MAX_EIGH_KERNEL_N = 32
 
 
+def _use_blocked_eigh(batch, n, dtype):
+    if _FORCE_MODE == "blocked":
+        return True
+    if _FORCE_MODE in ("xla", "kernel"):
+        return False
+    return (
+        _bl._on_tpu()
+        and dtype == jnp.float32
+        and batch >= _MIN_BLOCKED_BATCH
+        and _MAX_EIGH_KERNEL_N < n <= _MAX_BLOCKED_N
+    )
+
+
 def _eigh_impl(a):
     if a.ndim > 2:
         batch = math.prod(a.shape[:-2])
-        if (a.shape[-1] <= _MAX_EIGH_KERNEL_N
-                and _use_kernel(batch, a.shape[-1], a.dtype)):
+        n = a.shape[-1]
+        if (n <= _MAX_EIGH_KERNEL_N
+                and _use_kernel(batch, n, a.dtype)):
             flat = a.reshape((-1,) + a.shape[-2:])
             w, v = _bl.batched_eigh(flat, interpret=_interpret_flag())
+            return (w.reshape(a.shape[:-2] + w.shape[-1:]),
+                    v.reshape(a.shape))
+        if _use_blocked_eigh(batch, n, a.dtype):
+            flat = a.reshape((-1,) + a.shape[-2:])
+            w, v = _bl.blocked_eigh(flat, interpret=_interpret_flag())
             return (w.reshape(a.shape[:-2] + w.shape[-1:]),
                     v.reshape(a.shape))
     # plain tuple (not EighResult) so both paths return one pytree

@@ -360,3 +360,53 @@ def test_dispatch_size_policy():
         assert not d._use_blocked(256, 64, jnp_.float32)
     finally:
         d._bl._on_tpu = orig
+
+
+def test_eigh_blocked_mode_matches_xla():
+    """force_dispatch("blocked") routes dispatch.eigh through the blocked
+    block-Jacobi composition with matching values and gradients (the
+    large-N SoftAbs dispatch path)."""
+    n = 48
+    sym = jnp.asarray(_sym_batch(4, n, seed=SEED + 31))
+    with ops.force_dispatch("blocked"):
+        w_b, v_b = jax.jit(jax.vmap(dispatch.eigh))(sym)
+    w_ref, _ = np.linalg.eigh(np.asarray(sym))
+    np.testing.assert_allclose(np.asarray(w_b), w_ref, atol=1e-9)
+    recon = np.einsum(
+        "bij,bj,bkj->bik", np.asarray(v_b), np.asarray(w_b),
+        np.asarray(v_b))
+    np.testing.assert_allclose(recon, np.asarray(sym), atol=1e-9)
+
+    x = jnp.arange(1.0, n + 1)
+
+    def loss(ms, mode):
+        def per(m):
+            w, v = dispatch.eigh(m)
+            return x @ (v @ (jnp.logaddexp(0.0, w) * (v.T @ x)))
+        with ops.force_dispatch(mode):
+            return jnp.sum(jax.vmap(per)(ms))
+
+    g_blocked = jax.grad(loss)(sym, "blocked")
+    g_xla = jax.grad(loss)(sym, "xla")
+    np.testing.assert_allclose(
+        np.asarray(g_blocked), np.asarray(g_xla), atol=1e-8)
+
+
+def test_eigh_blocked_dispatch_policy():
+    """Auto policy for eigh: lane kernel to N=32, blocked block-Jacobi
+    for 32 < N <= 512 at batch >= 64 on TPU f32, XLA elsewhere."""
+    import jax.numpy as jnp_
+
+    from mici_tpu.ops import dispatch as d
+
+    orig = d._bl._on_tpu
+    d._bl._on_tpu = lambda: True
+    try:
+        assert d._use_blocked_eigh(64, 33, jnp_.float32)
+        assert d._use_blocked_eigh(256, 512, jnp_.float32)
+        assert not d._use_blocked_eigh(256, 513, jnp_.float32)
+        assert not d._use_blocked_eigh(32, 256, jnp_.float32)
+        assert not d._use_blocked_eigh(256, 32, jnp_.float32)
+        assert not d._use_blocked_eigh(256, 256, jnp_.float64)
+    finally:
+        d._bl._on_tpu = orig

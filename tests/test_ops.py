@@ -262,3 +262,60 @@ def test_blocked_cholesky_reverse_grad():
     np.testing.assert_allclose(
         np.asarray(jax.grad(loss_blocked)(mats)),
         np.asarray(jax.grad(loss_oracle)(mats)), atol=1e-8)
+
+
+@pytest.mark.parametrize("b,n", [(4, 64), (3, 96), (3, 80), (2, 200)])
+def test_blocked_eigh(b, n):
+    """Blocked parallel block-Jacobi eigendecomposition matches numpy at
+    pair multiples and non-multiples (Gershgorin-separated padding)."""
+    from mici_tpu.ops import blocked_eigh
+
+    rng = np.random.default_rng(SEED + 14)
+    a = rng.standard_normal((b, n, n))
+    mats = (a + np.swapaxes(a, -2, -1)) / 2
+    w, v = blocked_eigh(jnp.asarray(mats))
+    w, v = np.asarray(w), np.asarray(v)
+    w_ref = np.linalg.eigvalsh(mats)
+    scale = np.abs(w_ref).max()
+    np.testing.assert_allclose(w, w_ref, atol=1e-6 * scale)
+    np.testing.assert_allclose(
+        np.einsum("bij,bik->bjk", v, v), np.broadcast_to(np.eye(n), v.shape),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.einsum("bij,bj,bkj->bik", v, w, v), mats, atol=1e-5 * scale,
+    )
+
+
+def test_blocked_eigh_degenerate_and_diagonal():
+    """Already-diagonal input and (block-)degenerate spectra stay exact:
+    near-identity pivots must not cycle (the sorted-pair schedule)."""
+    from mici_tpu.ops import blocked_eigh
+
+    n = 64
+    d = np.arange(1.0, n + 1)[::-1].copy()  # descending: forces sorting
+    mats = np.stack([np.diag(d), np.eye(n) * 3.0])
+    w, v = blocked_eigh(jnp.asarray(mats))
+    np.testing.assert_allclose(np.asarray(w)[0], np.sort(d), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(w)[1], np.full(n, 3.0),
+                               atol=1e-12)
+    recon = np.einsum(
+        "bij,bj,bkj->bik", np.asarray(v), np.asarray(w), np.asarray(v))
+    np.testing.assert_allclose(recon, mats, atol=1e-10)
+
+
+def test_blocked_eigh_f32_large():
+    """f32 accuracy at the dense-SoftAbs target size (N = 128)."""
+    from mici_tpu.ops import blocked_eigh
+
+    rng = np.random.default_rng(SEED + 15)
+    n = 128
+    a = rng.standard_normal((2, n, n)).astype(np.float32)
+    mats = (a + np.swapaxes(a, -2, -1)) / 2
+    w, v = blocked_eigh(jnp.asarray(mats))
+    w_ref = np.linalg.eigvalsh(mats.astype(np.float64))
+    scale = np.abs(w_ref).max()
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=3e-5 * scale)
+    recon = np.einsum(
+        "bij,bj,bkj->bik", np.asarray(v), np.asarray(w), np.asarray(v))
+    np.testing.assert_allclose(recon, mats, atol=3e-5 * scale)
