@@ -805,16 +805,17 @@ class InverseTriangularMatrix(InvertibleMatrix, ImplicitArrayMatrix):
             return _dispatch.solve_triangular_vec(
                 self._inverse_array, other, lower=self.lower,
             )
-        return jsla.solve_triangular(self._inverse_array, other,
-                                     lower=self.lower)
+        return _dispatch.solve_triangular_mat(
+            self._inverse_array, other, lower=self.lower,
+        )
 
     def _right_matrix_multiply(self, other):
         if other.ndim == 1:
             return _dispatch.solve_triangular_vec(
                 self._inverse_array, other, lower=self.lower, trans=True,
             )
-        return jsla.solve_triangular(
-            self._inverse_array, other.T, lower=self.lower, trans=1,
+        return _dispatch.solve_triangular_mat(
+            self._inverse_array, other.T, lower=self.lower, trans=True,
         ).T
 
 
@@ -997,7 +998,14 @@ class DenseDefiniteMatrix(DifferentiableMatrix,
 
     @property
     def grad_log_abs_det(self):
-        return jnp.linalg.inv(self._array)
+        # d log|det A| / dA = A^-1 (symmetric), computed from the
+        # dispatched Cholesky as sign * L^-T L^-1: on large chain batches
+        # both the factorization and the inversion ride the Pallas
+        # kernels and the product is one MXU matmul, replacing a batched
+        # LU inverse XLA cannot batch efficiently at metric sizes
+        # (reference analytic gradient: mici/matrices.py:1176-1181).
+        linv = _dispatch.tri_inverse(self.factor.array)
+        return self._sign * (linv.T @ linv)
 
     def grad_quadratic_form_inv(self, vector):
         inv_vector = self.inv @ vector

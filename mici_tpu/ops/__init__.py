@@ -20,8 +20,10 @@ from mici_tpu.ops.batched_linalg import (  # noqa: F401
     batched_tril_solve,
     batched_tril_transpose_solve,
     batched_eigh,
+    batched_tril_inverse,
     blocked_cholesky,
     blocked_eigh,
+    blocked_tril_inverse,
     blocked_tril_solve,
     blocked_tril_transpose_solve,
 )
@@ -29,5 +31,7 @@ from mici_tpu.ops.dispatch import (  # noqa: F401
     cholesky,
     eigh,
     force_dispatch,
+    solve_triangular_mat,
     solve_triangular_vec,
+    tri_inverse,
 )

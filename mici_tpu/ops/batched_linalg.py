@@ -891,3 +891,156 @@ def blocked_eigh(mats, *, max_sweeps=_BLOCKED_EIGH_MAX_SWEEPS,
         w = w[:, :n_in]
         v = v[:, :n_in, :n_in]
     return w, v
+
+
+# ---------------------------------------------------------------------------
+# Batched / blocked triangular inversion
+# ---------------------------------------------------------------------------
+
+
+def _tril_inverse_kernel(n, l_ref, x_ref):
+    # Forward substitution against the identity, batch in lanes; refs
+    # (N, N, Bc) -> (N, N, Bc).  Row i of X = L^-1 satisfies
+    # L[i, i] X[i, :] = e_i - L[i, :i] @ X[:i, :] — the same recurrence
+    # as _tril_solve_kernel with an N-wide RHS plane per step.  Zeros
+    # above the diagonal propagate exactly (products of exact zeros).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    for i in range(n):
+        e_row = (rows == i).astype(x_ref.dtype)
+        if i == 0:
+            s = e_row + jnp.zeros_like(x_ref[0, :, :])
+        else:
+            s = e_row - jnp.sum(
+                l_ref[i, 0:i, :][:, None, :] * x_ref[0:i, :, :], axis=0,
+            )
+        x_ref[i, :, :] = s / l_ref[i, i, :][None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def _batched_tril_inverse_lanes(tril_lanes, block=_BATCH_BLOCK,
+                                interpret=False):
+    """Inverses of (N, N, B) batch-minor lower-triangular matrices."""
+    n = tril_lanes.shape[0]
+    block = _auto_block(n, tril_lanes.dtype.itemsize, block)
+    padded, b = _pad_batch(tril_lanes, block)
+    # avoid 0/0 in padded lanes
+    pad_width = padded.shape[-1] - b
+    if pad_width:
+        eye = jnp.eye(n, dtype=padded.dtype)[..., None]
+        mask = jnp.concatenate([
+            jnp.zeros((1, 1, b), padded.dtype),
+            jnp.ones((1, 1, pad_width), padded.dtype),
+        ], axis=-1)
+        padded = padded + eye * mask
+    grid = (padded.shape[-1] // block,)
+    out = pl.pallas_call(
+        functools.partial(_tril_inverse_kernel, n),
+        out_shape=jax.ShapeDtypeStruct(padded.shape, padded.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, n, block), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(padded)
+    return out[..., :b]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _tril_inverse_diff(tril, block, interpret):
+    lanes = jnp.moveaxis(tril, 0, -1)
+    out = _batched_tril_inverse_lanes(lanes, block=block,
+                                      interpret=interpret)
+    return jnp.moveaxis(out, -1, 0)
+
+
+def _tril_inverse_fwd(tril, block, interpret):
+    x = _tril_inverse_diff(tril, block, interpret)
+    return x, x
+
+
+def _tril_inverse_bwd(block, interpret, x, x_bar):
+    # X = L^-1, dX = -X dL X  =>  L_bar = -X^T X_bar X^T, masked to the
+    # lower triangle (the only entries the kernel reads).
+    xt = _transpose(x)
+    l_bar = -jnp.matmul(xt, jnp.matmul(x_bar, xt))
+    return (jnp.tril(l_bar),)
+
+
+_tril_inverse_diff.defvjp(_tril_inverse_fwd, _tril_inverse_bwd)
+
+
+def batched_tril_inverse(tril, *, block=_BATCH_BLOCK, interpret=None):
+    """Inverses of a batch of lower-triangular matrices, batch-in-lanes.
+
+    Materializing ``L^-1`` turns *matrix*-right-hand-side triangular
+    solves — the Cholesky differential ``L^-1 dA L^-T``
+    (:func:`mici_tpu.ops.dispatch.cholesky`'s tangent rule, hit by every
+    dense-metric gradient) and the definite-matrix inverse behind
+    ``grad_log_abs_det`` (reference: mici/matrices.py:1176-1181) — into
+    batched MXU matmuls, while the O(N^3 / 3) substitution itself runs
+    one elementwise lane-axis recurrence over the whole batch.
+
+    Reverse-mode differentiable (``L_bar = -tril(X^T X_bar X^T)``);
+    forward-mode is not defined here — the dispatch-level
+    :func:`mici_tpu.ops.dispatch.tri_inverse` wraps every path in a
+    closed-form ``custom_jvp``.
+
+    Args:
+        tril: Array (B, N, N) of lower-triangular matrices (lower
+            triangle read; the strict upper triangle is ignored).
+        block: Batch block per grid step.
+        interpret: Force Pallas interpreter mode.
+
+    Returns:
+        Inverses, shape (B, N, N), exactly lower-triangular.
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _tril_inverse_diff(tril, block, interpret)
+
+
+def blocked_tril_inverse(tril, *, panel=_BLOCK_PANEL, interpret=None):
+    """Blocked batched lower-triangular inversion for moderate-to-large N.
+
+    All K diagonal panels invert in one lane-kernel call at batch
+    ``B * K`` (:func:`batched_tril_inverse`); the strictly-lower panel
+    rows follow from the row recurrence
+    ``X[i, :i] = -L_ii^-1 (L[i, :i] @ X[:i, :i])`` — one pair of batched
+    MXU matmuls per panel row.  Same regime and differentiation notes as
+    :func:`blocked_cholesky`.
+
+    Args:
+        tril: Array (B, N, N) of lower-triangular matrices.
+        panel: Panel width (multiple-of-8 sublane tile; default 64).
+        interpret: Force Pallas interpreter mode for the diagonal-panel
+            kernel.
+
+    Returns:
+        Inverses, shape (B, N, N), lower-triangular.
+    """
+    b, n, _ = tril.shape
+    pad = (-n) % panel
+    tril_p, _ = _pad_tril(tril, jnp.zeros((b, n), tril.dtype), pad)
+    n_pad = n + pad
+    k_panels = n_pad // panel
+    if k_panels == 1:
+        return batched_tril_inverse(tril_p, interpret=interpret)[:, :n, :n]
+    idx = jnp.arange(k_panels)
+    diag_blocks = tril_p.reshape(
+        b, k_panels, panel, k_panels, panel)[:, idx, :, idx, :]
+    diag_blocks = jnp.moveaxis(diag_blocks, 0, 1).reshape(
+        b * k_panels, panel, panel)
+    diag_inv = batched_tril_inverse(
+        diag_blocks, interpret=interpret,
+    ).reshape(b, k_panels, panel, panel)
+    x = jnp.zeros_like(tril_p)
+    for k in range(k_panels):
+        s = k * panel
+        x = x.at[:, s:s + panel, s:s + panel].set(diag_inv[:, k])
+    for i in range(1, k_panels):
+        s = i * panel
+        e = s + panel
+        acc = jnp.matmul(tril_p[:, s:e, :s], x[:, :s, :s])
+        x = x.at[:, s:e, :s].set(-jnp.matmul(diag_inv[:, i], acc))
+    return x[:, :n, :n]

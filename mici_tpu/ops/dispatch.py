@@ -172,12 +172,13 @@ def _chol_jvp(primals, tangents):
     da_sym = (da + jnp.swapaxes(da, -2, -1)) / 2
     # dL = L phi(L^-1 dA L^-T); linear + transposable in da, so JAX
     # derives the reverse-mode adjoint (identical to XLA's) from it.
-    w = jax.lax.linalg.triangular_solve(
-        factor, da_sym, left_side=True, lower=True,
-    )
-    x = jax.lax.linalg.triangular_solve(
-        factor, w, left_side=False, lower=True, transpose_a=True,
-    )
+    # The matrix-RHS solves run as matmuls against the explicit inverse
+    # factor: linv depends only on primals (so it dispatches to the
+    # batched inversion kernels via tri_inverse without breaking
+    # transposability), the N x N-tangent sandwich rides the MXU, and
+    # XLA CSE shares linv with any co-occurring gradient path.
+    linv = _tri_inv_cv(factor)
+    x = jnp.matmul(linv, jnp.matmul(da_sym, jnp.swapaxes(linv, -2, -1)))
     return factor, jnp.matmul(factor, _chol_phi(x))
 
 
@@ -291,6 +292,153 @@ def solve_triangular_vec(a, b, *, lower=True, trans=False):
         Solutions, shape (..., N).
     """
     return _tri_solve_vec(bool(lower), bool(trans))(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Triangular inversion and matrix-RHS triangular solve
+# ---------------------------------------------------------------------------
+
+
+def _tri_inverse_impl(l):
+    if l.ndim > 2:
+        batch = math.prod(l.shape[:-2])
+        n = l.shape[-1]
+        if _use_kernel(batch, n, l.dtype):
+            flat = l.reshape((-1,) + l.shape[-2:])
+            out = _bl.batched_tril_inverse(flat, interpret=_interpret_flag())
+            return out.reshape(l.shape)
+        if _use_blocked(batch, n, l.dtype):
+            flat = l.reshape((-1,) + l.shape[-2:])
+            out = _bl.blocked_tril_inverse(flat, interpret=_interpret_flag())
+            return out.reshape(l.shape)
+    eye = jnp.broadcast_to(
+        jnp.eye(l.shape[-1], dtype=l.dtype), l.shape,
+    )
+    return jax.lax.linalg.triangular_solve(
+        l, eye, left_side=True, lower=True,
+    )
+
+
+@custom_vmap
+def _tri_inv_cv(l):
+    return _tri_inverse_impl(l)
+
+
+@_tri_inv_cv.def_vmap
+def _tri_inv_vmap_rule(axis_size, in_batched, l):
+    (l_batched,) = in_batched
+    return _tri_inverse_impl(l), l_batched
+
+
+@jax.custom_jvp
+def tri_inverse(l):
+    """Inverse of a (batch of) *lower*-triangular matrix(es), dispatching
+    large f32 TPU batches to the Pallas inversion kernels.
+
+    Reads the lower triangle only; returns an exactly lower-triangular
+    inverse.  The explicit inverse converts matrix-right-hand-side
+    triangular solves — the Cholesky tangent sandwich ``L^-1 dA L^-T``
+    and the dense definite inverse behind ``grad_log_abs_det``
+    (reference: mici/matrices.py:1176-1181) — into batched MXU matmuls.
+    Differentiable in both modes: ``dX = -X tril(dL) X`` is linear and
+    transposable, so reverse mode is derived by transposition.
+    """
+    return _tri_inv_cv(l)
+
+
+@tri_inverse.defjvp
+def _tri_inverse_jvp(primals, tangents):
+    (l,) = primals
+    (dl,) = tangents
+    x = _tri_inv_cv(l)
+    dx = -jnp.matmul(x, jnp.matmul(jnp.tril(dl), x))
+    return x, dx
+
+
+def _xla_tri_solve_mat(a, b, lower, trans):
+    if a.ndim != b.ndim:
+        a = jnp.broadcast_to(a, b.shape[:-2] + a.shape[-2:])
+    return jax.lax.linalg.triangular_solve(
+        a, b, left_side=True, lower=lower, transpose_a=trans,
+    )
+
+
+def _tri_solve_mat_impl(a, b, lower, trans):
+    if a.ndim > 2 and a.shape[:-2] == b.shape[:-2]:
+        batch = math.prod(a.shape[:-2])
+        n = a.shape[-1]
+        if (_use_kernel(batch, n, a.dtype)
+                or _use_blocked(batch, n, a.dtype)):
+            lo = a if lower else jnp.swapaxes(a, -2, -1)
+            linv = _tri_inverse_impl(lo)
+            # Solving op(a) x = b with op(a) lower-triangular L iff
+            # (lower, not trans) or (upper, trans); otherwise op = L^T.
+            if trans == lower:
+                linv = jnp.swapaxes(linv, -2, -1)
+            return jnp.matmul(linv, b)
+    return _xla_tri_solve_mat(a, b, lower, trans)
+
+
+@functools.cache
+def _tri_solve_mat(lower: bool, trans: bool):
+    """custom_jvp(custom_vmap(...)) matrix-RHS triangular solve for one
+    static (lower, trans) combination."""
+
+    def impl(a, b):
+        return _tri_solve_mat_impl(a, b, lower, trans)
+
+    cv = custom_vmap(impl)
+
+    @cv.def_vmap
+    def _rule(axis_size, in_batched, a, b):  # noqa: ANN001
+        a_batched, b_batched = in_batched
+        if not (a_batched or b_batched):
+            return impl(a, b), False
+        if not a_batched:
+            return _xla_tri_solve_mat(a, b, lower, trans), True
+        if not b_batched:
+            b = jnp.broadcast_to(b, a.shape[:-2] + b.shape)
+        return impl(a, b), True
+
+    @jax.custom_jvp
+    def solve(a, b):
+        return cv(a, b)
+
+    @solve.defjvp
+    def _jvp(primals, tangents):
+        a, b = primals
+        da, db = tangents
+        x = cv(a, b)
+        # Same rule as the vector solve: dx = op(a)^-1 (db - op(da) x)
+        # with the unread triangle of da masked; linear + transposable,
+        # with the tangent solve in plain XLA ops.
+        da_tri = jnp.tril(da) if lower else jnp.triu(da)
+        if trans:
+            da_tri = jnp.swapaxes(da_tri, -2, -1)
+        dx = _xla_tri_solve_mat(a, db - jnp.matmul(da_tri, x), lower, trans)
+        return x, dx
+
+    return solve
+
+
+def solve_triangular_mat(a, b, *, lower=True, trans=False):
+    """Solve a (batch of) triangular system(s) with *matrix* right-hand
+    sides, dispatching large f32 TPU batches through the batched
+    triangular-inversion kernels (solution = ``L^-1 @ b`` on the MXU).
+
+    Matrix-RHS companion of :func:`solve_triangular_vec`; same dispatch
+    conditions, falling back to XLA's ``triangular_solve`` otherwise.
+
+    Args:
+        a: Triangular matrix, shape (..., N, N).
+        b: Right-hand sides, shape (..., N, M).
+        lower: Whether ``a`` is lower (True) or upper (False) triangular.
+        trans: Solve ``a.T x = b`` instead of ``a x = b``.
+
+    Returns:
+        Solutions, shape (..., N, M).
+    """
+    return _tri_solve_mat(bool(lower), bool(trans))(a, b)
 
 
 # ---------------------------------------------------------------------------

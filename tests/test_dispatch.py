@@ -410,3 +410,92 @@ def test_eigh_blocked_dispatch_policy():
         assert not d._use_blocked_eigh(256, 256, jnp_.float64)
     finally:
         d._bl._on_tpu = orig
+
+
+def _tril_batch(b, n, seed=SEED):
+    spd = _spd_batch(b, n, seed=seed)
+    return np.linalg.cholesky(spd)
+
+
+@pytest.mark.parametrize("mode", ["kernel", "blocked", "xla"])
+def test_tri_inverse_modes_match(mode):
+    """All dispatch routes of tri_inverse agree with numpy, values and
+    both AD modes (the Cholesky-JVP sandwich runs on this op)."""
+    tril = jnp.asarray(_tril_batch(BATCH, DIM, seed=SEED + 40))
+    with ops.force_dispatch(mode):
+        out = jax.jit(jax.vmap(dispatch.tri_inverse))(tril)
+    ref = np.stack([np.linalg.inv(np.asarray(tril)[i]) for i in range(BATCH)])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-9)
+
+    w = jnp.arange(1.0, DIM * DIM + 1).reshape(DIM, DIM)
+
+    def loss(ls, m):
+        with ops.force_dispatch(m):
+            return jnp.sum(jax.vmap(dispatch.tri_inverse)(ls) ** 2 * w)
+
+    g = jax.grad(loss)(tril, mode)
+    g_ref = jax.grad(loss)(tril, "xla")
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-9)
+    # forward mode agrees with reverse-derived jacobian structure
+    tang = jnp.ones_like(tril)
+    _, jv = jax.jvp(lambda ls: loss(ls, mode), (tril,), (tang,))
+    _, jv_ref = jax.jvp(lambda ls: loss(ls, "xla"), (tril,), (tang,))
+    np.testing.assert_allclose(float(jv), float(jv_ref), atol=1e-9)
+
+
+@pytest.mark.parametrize("lower", [True, False])
+@pytest.mark.parametrize("trans", [True, False])
+@pytest.mark.parametrize("mode", ["kernel", "xla"])
+def test_solve_triangular_mat(lower, trans, mode):
+    """Matrix-RHS triangular solve matches scipy across every
+    (lower, trans) combination and dispatch mode, with matching
+    gradients in both arguments."""
+    import scipy.linalg as sla
+
+    m = 3
+    tril = _tril_batch(BATCH, DIM, seed=SEED + 41)
+    a_np = tril if lower else np.swapaxes(tril, -2, -1)
+    rng = np.random.default_rng(SEED + 42)
+    b_np = rng.standard_normal((BATCH, DIM, m))
+    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+
+    with ops.force_dispatch(mode):
+        out = jax.jit(jax.vmap(
+            lambda ai, bi: dispatch.solve_triangular_mat(
+                ai, bi, lower=lower, trans=trans)
+        ))(a, b)
+    ref = np.stack([
+        sla.solve_triangular(a_np[i], b_np[i], lower=lower,
+                             trans=1 if trans else 0)
+        for i in range(BATCH)
+    ])
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-9)
+
+    def loss(ai, bi, md):
+        with ops.force_dispatch(md):
+            x = jax.vmap(lambda aj, bj: dispatch.solve_triangular_mat(
+                aj, bj, lower=lower, trans=trans))(ai, bi)
+        return jnp.sum(x**3)
+
+    g_a, g_b = jax.grad(loss, argnums=(0, 1))(a, b, mode)
+    g_a_ref, g_b_ref = jax.grad(loss, argnums=(0, 1))(a, b, "xla")
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_a_ref),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_b_ref),
+                               atol=1e-8)
+
+
+def test_dense_grad_log_abs_det_dispatched():
+    """DenseDefiniteMatrix.grad_log_abs_det (now Cholesky-inverse based)
+    equals the LU inverse for both signs, batched under every mode."""
+    spds = _spd_batch(BATCH, DIM, seed=SEED + 43)
+    for sign in (1, -1):
+        arrs = jnp.asarray(sign * spds)
+        for mode in ("kernel", "xla"):
+            with ops.force_dispatch(mode):
+                out = jax.jit(jax.vmap(
+                    lambda m: matrices.DenseDefiniteMatrix(
+                        m, sign=sign).grad_log_abs_det
+                ))(arrs)
+            ref = np.linalg.inv(sign * spds) * sign
+            np.testing.assert_allclose(np.asarray(out), ref, atol=1e-8)
