@@ -729,6 +729,12 @@ def _block_jacobi_schedule(n, half):
     arrays of shape ``(m - 1, n)``: ``perm[r]`` reorders elements so the
     round-``r`` pivot subproblems are the consecutive ``2 * half``-wide
     diagonal blocks of ``A[perm][:, perm]``; ``inv[r]`` undoes it.
+
+    Returns **host numpy** arrays on purpose: the result is memoized
+    across calls, and caching ``jnp`` arrays here would capture
+    trace-local constants from the first jit trace and leak them into
+    later traces (``UnexpectedTracerError``).  Callers convert with
+    ``jnp.asarray`` inside their own trace.
     """
     import numpy as np
 
@@ -753,7 +759,7 @@ def _block_jacobi_schedule(n, half):
         perms[r] = (base[:, None] + np.arange(half, dtype=np.int32)).ravel()
         others = others[1:] + others[:1]
     invs = np.argsort(perms, axis=1).astype(np.int32)
-    return jnp.asarray(perms), jnp.asarray(invs)
+    return perms, invs
 
 
 def _pad_symmetric_separated(mats, pad):
@@ -823,7 +829,8 @@ def blocked_eigh(mats, *, max_sweeps=_BLOCKED_EIGH_MAX_SWEEPS,
     n = n_in + pad
     m = n // _EIGH_PAIR_HALF
     k = m // 2  # pivot pairs per round
-    perms, invs = _block_jacobi_schedule(n, _EIGH_PAIR_HALF)
+    perms_np, invs_np = _block_jacobi_schedule(n, _EIGH_PAIR_HALF)
+    perms, invs = jnp.asarray(perms_np), jnp.asarray(invs_np)
     eps = jnp.finfo(dtype).eps
     # Scale-free stopping rule on the whole batch.
     norm0 = jnp.maximum(

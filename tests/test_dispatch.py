@@ -392,6 +392,41 @@ def test_eigh_blocked_mode_matches_xla():
         np.asarray(g_blocked), np.asarray(g_xla), atol=1e-8)
 
 
+def test_eigh_blocked_two_separate_jit_traces():
+    """Regression: calling the blocked eigh from TWO separate jit traces
+    must not leak trace-local constants between traces.
+
+    Round 4 shipped ``_block_jacobi_schedule`` memoizing ``jnp`` arrays
+    under ``functools.cache`` — permutation tables created during the
+    first trace leaked into the second and crashed with
+    ``UnexpectedTracerError``.  This exercises the exact trigger: two
+    distinct jitted programs, same (n, half) schedule key."""
+    n = 48
+    sym = jnp.asarray(_sym_batch(3, n, seed=SEED + 33))
+
+    # Distinct jit caches: two different wrapper functions.
+    def first(ms):
+        return jax.vmap(dispatch.eigh)(ms)
+
+    def second(ms):
+        w, v = jax.vmap(dispatch.eigh)(ms)
+        return w + 1.0, v
+
+    with ops.force_dispatch("blocked"):
+        w1, _ = jax.jit(first)(sym)
+        w2, _ = jax.jit(second)(sym)  # second trace — leak crashed here
+    w_ref, _ = np.linalg.eigh(np.asarray(sym))
+    np.testing.assert_allclose(np.asarray(w1), w_ref, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(w2), w_ref + 1.0, atol=1e-9)
+
+    # The schedule cache itself must hold only host (numpy) arrays.
+    from mici_tpu.ops import batched_linalg as bl
+
+    perm, inv = bl._block_jacobi_schedule(64, bl._EIGH_PAIR_HALF)
+    assert type(perm).__module__.startswith("numpy")
+    assert type(inv).__module__.startswith("numpy")
+
+
 def test_eigh_blocked_dispatch_policy():
     """Auto policy for eigh: lane kernel to N=32, blocked block-Jacobi
     for 32 < N <= 512 at batch >= 64 on TPU f32, XLA elsewhere."""
@@ -497,5 +532,7 @@ def test_dense_grad_log_abs_det_dispatched():
                     lambda m: matrices.DenseDefiniteMatrix(
                         m, sign=sign).grad_log_abs_det
                 ))(arrs)
-            ref = np.linalg.inv(sign * spds) * sign
+            # Reference semantics (mici/matrices.py:1176-1177):
+            # grad_log_abs_det = A^-1 for the actual matrix A = sign * S.
+            ref = np.linalg.inv(sign * spds)
             np.testing.assert_allclose(np.asarray(out), ref, atol=1e-8)
