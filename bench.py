@@ -161,7 +161,8 @@ def _log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def measure_chip_probe(n_iter=400, size=256, batch=1024):
+def measure_chip_probe(n_iter=400, size=256, batch=1024,
+                       precision="engine"):
     """Fixed-kernel chip-state probe (ROADMAP round-4 #3).
 
     The shared dev chip's effective throughput swings 2-3x across
@@ -170,18 +171,34 @@ def measure_chip_probe(n_iter=400, size=256, batch=1024):
     the start and end of the run: a scan of ``n_iter`` batched
     (batch x size) @ (size x size) matmul+tanh steps.  Ratios can then
     be read against the window the measurement landed in.
+
+    ``precision="engine"`` (default) traces the probe matmul under the
+    engine's matmul-precision policy (mici_tpu.precision — "highest",
+    i.e. full-f32 accumulation), the same precision every engine
+    program runs at, so roofline fractions compare like with like
+    (VERDICT round-4 weak #5: the old default-precision probe ran the
+    MXU in bf16 passes the engine never uses).  ``precision="default"``
+    keeps JAX's hardware default for cross-round continuity readings.
     """
     import jax
     import jax.numpy as jnp
 
+    from mici_tpu.precision import matmul_precision_scope
+
     w = jax.random.normal(jax.random.PRNGKey(0), (size, size),
                           jnp.float32) / np.sqrt(size)
+    # The probe body runs at a *fixed* precision per reading; a distinct
+    # closure constant per mode keeps the two modes' jit caches apart.
+    engine = precision == "engine"
 
     @jax.jit
     def probe(x):
         def body(c, _):
             return jnp.tanh(c @ w), None
 
+        if engine:
+            with matmul_precision_scope():
+                return jax.lax.scan(body, x, None, length=n_iter)[0]
         return jax.lax.scan(body, x, None, length=n_iter)[0]
 
     x = jnp.ones((batch, size), jnp.float32)
@@ -232,6 +249,55 @@ def run_config_rows(traces_out, ref_traces_out):
     return rows
 
 
+_CACHE_DEMO_SCRIPT = r"""
+import json, sys
+from mici_tpu import profiling
+profiling.enable_persistent_compilation_cache(
+    sys.argv[1], min_compile_time_secs=0.0)
+with profiling.compile_telemetry() as t:
+    from benchmarks.configs import config_1_static_hmc
+    sampler, init, kwargs = config_1_static_hmc(n_chain=32)
+    kwargs = {**kwargs, "adapters": None,
+              "trace_funcs": [lambda s: {"pos": s.pos[:4]}]}
+    sampler.sample_chains(2, 2, init, display_progress=False, **kwargs)
+summary = t.summary()
+summary.pop("top_programs_by_compile_seconds", None)
+print("CACHE_DEMO " + json.dumps(summary))
+"""
+
+
+def measure_persistent_cache_effect(timeout=420):
+    """Cold-vs-warm XLA persistent-cache measurement (VERDICT r4 #3).
+
+    Runs the same small sampling program in two fresh subprocesses
+    sharing one *fresh* compilation-cache directory: the first pays the
+    real backend compiles and populates the disk cache, the second hits
+    it.  Records both compile telemetries so the artifact carries a
+    direct measurement of what enabling the cache saves (round 4 paid
+    ~504 s of compiles from scratch every run with no cache configured).
+    """
+    import tempfile
+
+    results = {}
+    with tempfile.TemporaryDirectory(prefix="xla_cache_demo_") as cache_dir:
+        for label in ("cold", "warm"):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", _CACHE_DEMO_SCRIPT, cache_dir],
+                    capture_output=True, text=True, timeout=timeout,
+                )
+                for line in proc.stdout.splitlines():
+                    if line.startswith("CACHE_DEMO "):
+                        results[label] = json.loads(line[len("CACHE_DEMO "):])
+            except (subprocess.TimeoutExpired, OSError) as exc:
+                results[label] = {"error": f"{type(exc).__name__}"}
+    cold = results.get("cold", {}).get("compile_seconds_total")
+    warm = results.get("warm", {}).get("compile_seconds_total")
+    if cold and warm:
+        results["cold_over_warm_compile_seconds"] = round(cold / warm, 1)
+    return results
+
+
 def run_moment_validation(banana_traces, config_traces, ref_traces):
     """On-chip f32 posterior-moment checks on the same runs the perf
     numbers come from (VERDICT round-2 item 4; extended to every config
@@ -280,12 +346,30 @@ def run_moment_validation(banana_traces, config_traces, ref_traces):
 
 
 def main():
-    from mici_tpu.profiling import compile_telemetry
+    from mici_tpu.profiling import (
+        compile_telemetry,
+        enable_persistent_compilation_cache,
+    )
+
+    # Persistent XLA compilation cache (VERDICT r4 #3): repo-local so
+    # repeated bench/CI runs on this checkout re-use executables instead
+    # of re-paying every backend compile (round 4: 504 s per run).
+    cache_dir = enable_persistent_compilation_cache(
+        str(Path(__file__).parent / ".xla_cache"),
+    )
+    cache_entries_before = len(os.listdir(cache_dir))
+    _log(f"persistent compilation cache: {cache_dir} "
+         f"({cache_entries_before} entries)")
 
     headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
     with compile_telemetry() as telemetry:
         probe_start = measure_chip_probe()
-        _log(f"chip probe (start): {probe_start} matmul-steps/s")
+        probe_start_default_precision = measure_chip_probe(
+            precision="default",
+        )
+        _log(f"chip probe (start): {probe_start} matmul-steps/s engine "
+             f"precision; {probe_start_default_precision} default "
+             f"precision")
         tpu, banana_traces = run_tpu_benchmark()
         _log(
             f"tpu headline: {tpu['chain_iters_per_sec']:.0f} chain-iters/s, "
@@ -330,17 +414,50 @@ def main():
         moment_validation = run_moment_validation(
             banana_traces, config_traces, ref_traces,
         )
-        roofline = {}
+        roofline_rows = []
+        softabs_row = {}
         if not headline_only:
-            try:
-                from benchmarks.roofline import run_roofline_row
+            # Same-precision roofline sweep (VERDICT r4 #4): each row's
+            # utilization denominator is an engine-precision probe taken
+            # next to that row's measurement.  n_chain per dim is
+            # HBM-bounded inside run_roofline_row (the O(n_chain*dim^2)
+            # metric/factor/AD buffers: 256 chains at dim 512 crashed
+            # the worker in round 4), recorded in the row itself.
+            from benchmarks.roofline import run_roofline_row
 
-                roofline = run_roofline_row(probe_start)
-                _log(f"roofline: {json.dumps(roofline)}")
+            for dim in (256, 512, 1024):
+                try:
+                    row_probe = measure_chip_probe()
+                    row = run_roofline_row(row_probe, dim=dim)
+                    row["probe_precision"] = "engine"
+                except Exception as exc:  # pragma: no cover - robustness
+                    row = {"config": "roofline_dense_riemannian",
+                           "dim": dim,
+                           "error": f"{type(exc).__name__}: {exc}"}
+                _log(f"roofline dim {dim}: {json.dumps(row)}")
+                roofline_rows.append(row)
+            # Blocked-eigh end-to-end row (VERDICT r4 #2): SoftAbs RMHMC
+            # at dim 256 through the generic driver, auto-dispatched to
+            # the blocked block-Jacobi eigh, exact-moment gated, with a
+            # same-shape A/B vs XLA's native eigh.
+            try:
+                from benchmarks.softabs_row import run_softabs_eigh_row
+
+                softabs_row = run_softabs_eigh_row(measure_chip_probe())
             except Exception as exc:  # pragma: no cover - robustness
-                roofline = {"error": f"{type(exc).__name__}: {exc}"}
+                softabs_row = {"error": f"{type(exc).__name__}: {exc}"}
+            _log(f"softabs eigh row: {json.dumps(softabs_row)}")
+            if softabs_row.get("moment_gate") is not None:
+                moment_validation["softabs_eigh_dim256"] = (
+                    softabs_row["moment_gate"]
+                )
         probe_end = measure_chip_probe()
         _log(f"chip probe (end): {probe_end} matmul-steps/s")
+
+    cache_effect = {}
+    if not headline_only:
+        cache_effect = measure_persistent_cache_effect()
+        _log(f"persistent-cache cold/warm: {json.dumps(cache_effect)}")
 
     # Full machine-readable detail to a file; the final stdout line is a
     # compact summary the driver's bounded capture can always parse
@@ -353,11 +470,20 @@ def main():
         "ref_ess_method": method,
         "chip_probe_steps_per_sec": {
             "start": probe_start, "end": probe_end,
+            "start_default_precision": probe_start_default_precision,
+            "precision": "engine (matmul_precision_scope) unless noted",
         },
         "configs": configs_rows,
-        "roofline": roofline,
+        "roofline": roofline_rows,
+        "softabs_eigh_row": softabs_row,
         "moment_validation": moment_validation,
         "compile_telemetry": telemetry.summary(),
+        "persistent_compilation_cache": {
+            "dir": cache_dir,
+            "entries_before": cache_entries_before,
+            "entries_after": len(os.listdir(cache_dir)),
+            "cold_warm_demo": cache_effect,
+        },
     }
     full_path = Path(__file__).parent / "BENCH_FULL.json"
     full_path.write_text(json.dumps(full, indent=1))
@@ -370,6 +496,10 @@ def main():
     moment_ok = {
         key: val.get("ok") for key, val in moment_validation.items()
     }
+    telemetry_summary = dict(full["compile_telemetry"])
+    telemetry_summary["top_programs_by_compile_seconds"] = (
+        telemetry_summary.get("top_programs_by_compile_seconds", [])[:3]
+    )
     print(json.dumps({
         "metric": full["metric"],
         "value": full["value"],
@@ -377,14 +507,24 @@ def main():
         "vs_baseline": full["vs_baseline"],
         "ratios_vs_reference_ess": ratios,
         "moment_ok": moment_ok,
-        "roofline": {
-            k: roofline.get(k)
-            for k in ("dim", "achieved_tflops", "frac_of_probe_peak",
-                      "error")
-            if k in roofline
+        "roofline": [
+            {k: row.get(k)
+             for k in ("dim", "achieved_tflops", "frac_of_probe_peak",
+                       "error")
+             if k in row}
+            for row in roofline_rows
+        ],
+        "softabs_eigh": {
+            k: softabs_row.get(k)
+            for k in ("dim", "eigh_auto_path", "chain_iters_per_sec",
+                      "blocked_over_xla_speedup", "mean_accept", "error")
+            if k in softabs_row
         },
         "chip_probe_steps_per_sec": full["chip_probe_steps_per_sec"],
-        "compile_telemetry": full["compile_telemetry"],
+        "compile_telemetry": telemetry_summary,
+        "persistent_cache_cold_over_warm": cache_effect.get(
+            "cold_over_warm_compile_seconds",
+        ),
         "wall_convention": "median_of_repeats",
         "detail": "BENCH_FULL.json",
     }))

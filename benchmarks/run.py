@@ -33,7 +33,8 @@ def _capped_trace_func(cap):
 
 def run_config(number, n_warm=50, n_main=100, n_chain=None,
                warm_compile=True, trace_dim_cap=8, config_kwargs=None,
-               return_traces=False, n_repeat=1):
+               return_traces=False, n_repeat=1,
+               measure_summary_only=False):
     name, make = CONFIGS[number]
     config_kwargs = dict(config_kwargs or {})
     if n_chain is not None:
@@ -100,6 +101,37 @@ def run_config(number, n_warm=50, n_main=100, n_chain=None,
         result["leapfrog_steps_per_sec"] = round(
             float(np.sum(out.statistics["n_step"], where=np.asarray(
                 out.statistics["n_step"]) > 0)) / elapsed, 1)
+    if measure_summary_only:
+        # Transfer-free driver rate (VERDICT round-4 weak #7): the same
+        # run with ``trace_summary="only"`` — on-device running moments,
+        # no per-iteration trace streamed to host — is the
+        # production-relevant wall for the high-dimensional configs
+        # whose artifact rows are otherwise dominated by the dev
+        # tunnel's 7 MB/s-8 GB/s transfer swings.  Recorded alongside;
+        # the ratio in the artifact row still uses the (conservative)
+        # full-trace wall above.
+        so_kwargs = {**kwargs, "trace_summary": "only"}
+        sampler_s, init_s, _ = make()
+        sampler_s.sample_chains(  # warm compile of the summary program
+            n_warm, n_main, init_s, display_progress=False, **so_kwargs,
+        )
+        so_walls = []
+        for rep in range(max(1, n_repeat)):
+            sampler_s, init_s, _ = make()
+            t0 = time.perf_counter()
+            sampler_s.sample_chains(
+                n_warm, n_main, init_s, display_progress=False,
+                **so_kwargs,
+            )
+            so_walls.append(time.perf_counter() - t0)
+        so_elapsed = float(np.median(so_walls))
+        result["summary_only_wall_s"] = round(so_elapsed, 3)
+        result["summary_only_wall_repeats"] = [
+            round(w, 3) for w in so_walls
+        ]
+        result["summary_only_chain_iters_per_sec"] = round(
+            n_chain * (n_warm + n_main) / so_elapsed, 1)
+        result["ratio_wall_convention"] = "full_trace"
     if return_traces:
         return result, traces
     return result
@@ -136,20 +168,22 @@ BENCH_ROW_SETTINGS = {
     # across chip windows, 3x on the recorded ratio).  Longer windows
     # amortize the fixed latency so the row measures the kernel, not
     # the tunnel; the reference core cannot batch either way.
-    1: {"n_chain": 4096, "n_warm": 50, "n_main": 1200, "n_repeat": 3},
+    1: {"n_chain": 4096, "n_warm": 50, "n_main": 1200, "n_repeat": 3,
+        "measure_summary_only": True},
     2: {"n_chain": 1024, "n_warm": 200, "n_main": 900, "n_repeat": 3},
     # exact stationary init -> warm-up only separates program warm from
     # the measured window
     3: {"n_chain": 1024, "n_warm": 16, "n_main": 384, "n_repeat": 2},
     4: {"n_chain": 1024, "n_warm": 100, "n_main": 200, "n_repeat": 2},
-    5: {"n_chain": 4096, "n_warm": 50, "n_main": 450, "n_repeat": 3},
+    5: {"n_chain": 4096, "n_warm": 50, "n_main": 450, "n_repeat": 3,
+        "measure_summary_only": True},
 }
 
 
 def compare_config(number, n_warm=50, n_main=100, n_chain=None,
                    ref_n_iter=100, ref_n_warm=50, ref_n_repeat=3,
                    ref_method="direct", return_traces=False, n_repeat=1,
-                   return_ref_traces=False):
+                   return_ref_traces=False, measure_summary_only=False):
     """TPU run + measured single-core reference denominator + ratio.
 
     With ``ref_method="direct"`` (default) the reference ESS/sec is
@@ -168,7 +202,7 @@ def compare_config(number, n_warm=50, n_main=100, n_chain=None,
 
     result, traces = run_config(
         number, n_warm, n_main, n_chain, return_traces=True,
-        n_repeat=n_repeat,
+        n_repeat=n_repeat, measure_summary_only=measure_summary_only,
     )
     ref_rate = ref_ess_per_sec = None
     ref_traces = None
