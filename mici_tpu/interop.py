@@ -264,6 +264,194 @@ def convert_to_data_tree(traces, stats, energy_key="hamiltonian",
 
 
 # ---------------------------------------------------------------------------
+# Dependency-free bridge cores (directly tested without the external
+# packages; the real-library adapters below are thin over these)
+# ---------------------------------------------------------------------------
+
+
+def split_flat_vector(pos, entries):
+    """Split a flat parameter vector into named blocks.
+
+    The inverse of PyMC's ``DictToArrayBijection.map`` raveling
+    (mici/interop.py:146-177 operates on the same flat layout), shared by
+    both PyMC bridge paths and directly testable without pymc.
+
+    Args:
+        pos: Flat vector (jax or numpy array).
+        entries: Sequence of ``(name, shape, size)`` blocks in raveled
+            order (see :func:`_point_map_entries`).
+
+    Returns:
+        List of per-block arrays reshaped to each entry's shape.
+    """
+    import jax.numpy as jnp
+
+    parts = []
+    offset = 0
+    for _name, shape, size in entries:
+        parts.append(jnp.reshape(pos[offset:offset + size], shape))
+        offset += size
+    return parts
+
+
+def make_callback_grad_neg_log_dens(host_val_and_grad, dim, dtype=None):
+    """Wrap a host ``q -> (neg_log_dens, grad)`` pair for compiled code.
+
+    The shared ``jax.pure_callback`` plumbing of the PyMC C-function
+    fallback and the bridgestan bridge (reference analogues:
+    mici/interop.py:146-197, :375-414): result shapes use the canonical
+    JAX float dtype (64-bit result shapes are rejected when x64 is
+    disabled — the default f32 library mode), and vmapped chains
+    serialize through the callback sequentially.
+
+    Args:
+        host_val_and_grad: Host function ``np.ndarray -> (scalar, array)``
+            returning the negative log density and its gradient, already
+            cast to ``dtype``.
+        dim: Length of the flat parameter vector.
+        dtype: Result dtype; defaults to the canonical JAX float dtype.
+
+    Returns:
+        ``(neg_log_dens, grad_neg_log_dens)`` jax-traceable functions,
+        with ``grad_neg_log_dens`` returning ``(grad, value)`` (the
+        aux-value convention system constructors expect).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = np.dtype(jnp.result_type(float))
+
+    def grad_neg_log_dens(q):
+        val_shape = jax.ShapeDtypeStruct((), dtype)
+        grad_shape = jax.ShapeDtypeStruct((dim,), dtype)
+        val, grad = jax.pure_callback(
+            host_val_and_grad, (val_shape, grad_shape), q,
+            vmap_method="sequential",
+        )
+        return grad, val
+
+    def neg_log_dens(q):
+        return grad_neg_log_dens(q)[1]
+
+    return neg_log_dens, grad_neg_log_dens
+
+
+#: Valid pymc.sample init strategies mirrored by the PyMC bridge
+#: (mici/interop.py:300-312).
+PYMC_INIT_STRATEGIES = (
+    "jitter+adapt_diag", "jitter+adapt_full", "adapt_diag", "adapt_full",
+)
+
+
+def resolve_pymc_init(init):
+    """Resolve a pymc ``init`` strategy string.
+
+    Reference semantics: mici/interop.py:300-312 — ``"auto"`` means
+    ``"jitter+adapt_diag"``; ``adapt_full`` variants adapt a dense metric;
+    ``jitter+`` variants jitter initial states uniformly in [-1, 1].
+
+    Returns:
+        ``(use_dense_metric, jitter_init)`` booleans.
+
+    Raises:
+        ValueError: For unknown strategies.
+    """
+    init = "jitter+adapt_diag" if init == "auto" else init
+    if init not in PYMC_INIT_STRATEGIES:
+        msg = ('init must be "auto", "jitter+adapt_diag", "adapt_diag", '
+               '"jitter+adapt_full" or "adapt_full"')
+        raise ValueError(msg)
+    return "adapt_full" in init, "jitter" in init
+
+
+def jittered_init_states(mean, n_chains, neg_log_dens, rng,
+                         jitter_max_retries=10):
+    """Draw per-chain jittered initial states with finite density.
+
+    Reference: mici/interop.py:325-335 — uniform [-1, 1] jitter around the
+    model's initial point, retried per chain up to ``jitter_max_retries``
+    times until the density is finite (the last draw is kept regardless,
+    matching the reference's fallback behavior).
+
+    Args:
+        mean: Initial point (flat vector) to jitter around.
+        n_chains: Number of chains.
+        neg_log_dens: Callable evaluating the negative log density of a
+            flat vector (jax or numpy based).
+        rng: ``numpy.random.Generator`` consumed draw by draw.
+        jitter_max_retries: Maximum attempts per chain.
+
+    Returns:
+        List of ``n_chains`` flat numpy vectors.
+    """
+    mean = np.asarray(mean, dtype=np.float64)
+    init_states = []
+    for _c in range(n_chains):
+        pos = mean
+        for _t in range(jitter_max_retries):
+            pos = mean + rng.uniform(-1, 1, mean.shape)
+            if np.isfinite(float(np.asarray(neg_log_dens(pos)))):
+                break
+        init_states.append(pos)
+    return init_states
+
+
+#: Valid CmdStan metric names (mici/interop.py:417-470).
+STAN_METRICS = ("unit_e", "diag_e", "dense_e")
+
+
+def resolve_stan_adaptation(metric="diag_e", adapt_engaged=True, *,
+                            delta=0.8, gamma=0.05, kappa=0.75, t0=10,
+                            init_buffer=75, term_buffer=50, window=25):
+    """Map CmdStan adaptation arguments to adapters + stager.
+
+    The full argument-mapping logic of :func:`sample_stan_model`
+    (reference: mici/interop.py:417-557) with no Stan dependency:
+    ``metric`` selects the adapted metric representation,
+    ``delta``/``gamma``/``kappa``/``t0`` parameterize dual averaging, and
+    ``init_buffer``/``term_buffer``/``window`` parameterize the
+    Stan-style windowed warm-up schedule.
+
+    Returns:
+        ``(adapters, stager)`` — ``(None, None)`` when adaptation is
+        disabled.
+
+    Raises:
+        ValueError: For unknown metric names.
+    """
+    from mici_tpu import adapters as _adapters
+    from mici_tpu import stagers as _stagers
+
+    if metric not in STAN_METRICS:
+        msg = 'metric must be one of "unit_e", "diag_e" or "dense_e"'
+        raise ValueError(msg)
+    if not adapt_engaged:
+        return None, None
+    adapter_list = [
+        _adapters.DualAveragingStepSizeAdapter(
+            adapt_stat_target=delta,
+            iter_offset=t0,
+            iter_decay_coeff=kappa,
+            log_step_size_reg_coefficient=gamma,
+        ),
+    ]
+    if metric == "diag_e":
+        adapter_list.append(_adapters.OnlineVarianceMetricAdapter())
+    elif metric == "dense_e":
+        adapter_list.append(_adapters.OnlineCovarianceMetricAdapter())
+    if len(adapter_list) > 1:
+        stager = _stagers.WindowedWarmUpStager(
+            n_init_fast_stage_iter=init_buffer,
+            n_final_fast_stage_iter=term_buffer,
+            n_init_slow_window_iter=window,
+        )
+    else:
+        stager = _stagers.WarmUpStager()
+    return adapter_list, stager
+
+
+# ---------------------------------------------------------------------------
 # PyMC bridge
 # ---------------------------------------------------------------------------
 
@@ -291,7 +479,6 @@ def _construct_pymc_model_functions_jax(model, pm):
     vectorize on device (no host callback in the hot loop).
     """
     import jax
-    import jax.numpy as jnp
     from pymc.sampling.jax import get_jaxified_graph, get_jaxified_logp
 
     initial_point = model.initial_point()
@@ -299,12 +486,7 @@ def _construct_pymc_model_functions_jax(model, pm):
     entries = _point_map_entries(raveled)
 
     def _split(pos):
-        parts = []
-        offset = 0
-        for _name, shape, size in entries:
-            parts.append(jnp.reshape(pos[offset:offset + size], shape))
-            offset += size
-        return parts
+        return split_flat_vector(pos, entries)
 
     logp_fn = get_jaxified_logp(model)
 
@@ -342,7 +524,6 @@ def _construct_pymc_model_functions_callback(model, pm):
     code through ``jax.pure_callback`` (chains serialize through the
     callback; prefer the JAX translation when available).
     """
-    import jax
     import jax.numpy as jnp
 
     logp_dlogp_fn = model.logp_dlogp_function(mode="FAST_RUN")
@@ -351,36 +532,18 @@ def _construct_pymc_model_functions_callback(model, pm):
     raveled = pm.blocking.DictToArrayBijection.map(initial_point)
     entries = _point_map_entries(raveled)
     dim = sum(size for _n, _s, size in entries)
-    # Callback results must use the canonical JAX float dtype: 64-bit
-    # result shapes are rejected when x64 is disabled (the default f32
-    # library mode); the host side computes in f64 and casts.
-    import jax.numpy as _jnp
-
-    dtype = np.dtype(_jnp.result_type(float))
+    dtype = np.dtype(jnp.result_type(float))
 
     def _host_val_and_grad(q):
         val, grad = logp_dlogp_fn(np.asarray(q, np.float64))
         return np.asarray(-val, dtype), np.asarray(-grad, dtype)
 
-    def grad_neg_log_dens(q):
-        val_shape = jax.ShapeDtypeStruct((), dtype)
-        grad_shape = jax.ShapeDtypeStruct((dim,), dtype)
-        val, grad = jax.pure_callback(
-            _host_val_and_grad, (val_shape, grad_shape), q,
-            vmap_method="sequential",
-        )
-        return grad, val
-
-    def neg_log_dens(q):
-        return grad_neg_log_dens(q)[1]
+    neg_log_dens, grad_neg_log_dens = make_callback_grad_neg_log_dens(
+        _host_val_and_grad, dim, dtype,
+    )
 
     def _split(pos):
-        parts = []
-        offset = 0
-        for _name, shape, size in entries:
-            parts.append(jnp.reshape(pos[offset:offset + size], shape))
-            offset += size
-        return parts
+        return split_flat_vector(pos, entries)
 
     names = [name for name, _s, _z in entries]
 
@@ -468,15 +631,7 @@ def sample_pymc_model(draws=1000, *, tune=1000, chains=None, cores=None,
         else cores
     chains = max(2, cores) if chains is None else chains
 
-    init = "jitter+adapt_diag" if init == "auto" else init
-    valid_inits = ("jitter+adapt_diag", "jitter+adapt_full", "adapt_diag",
-                   "adapt_full")
-    if init not in valid_inits:
-        msg = ('init must be "auto", "jitter+adapt_diag", "adapt_diag", '
-               '"jitter+adapt_full" or "adapt_full"')
-        raise ValueError(msg)
-    use_dense_metric = "adapt_full" in init
-    jitter_init = "jitter" in init
+    use_dense_metric, jitter_init = resolve_pymc_init(init)
 
     with model:
         neg_log_dens, grad_neg_log_dens, trace_func = (
@@ -503,18 +658,10 @@ def sample_pymc_model(draws=1000, *, tune=1000, chains=None, cores=None,
         raveled = pm.blocking.DictToArrayBijection.map(initial_point)
         mean = np.asarray(raveled.data, dtype=np.float64).copy()
         if jitter_init:
-            # Uniform [-1, 1] jitter, retrying per chain until the density
-            # is finite (mici/interop.py:325-335).
-            init_states = []
-            for _c in range(chains):
-                pos = mean
-                for _t in range(jitter_max_retries):
-                    pos = mean + rng.uniform(-1, 1, mean.shape)
-                    if np.isfinite(
-                        float(np.asarray(neg_log_dens(jnp.asarray(pos)))),
-                    ):
-                        break
-                init_states.append(pos)
+            init_states = jittered_init_states(
+                mean, chains, lambda q: neg_log_dens(jnp.asarray(q)), rng,
+                jitter_max_retries,
+            )
         else:
             init_states = [mean.copy() for _c in range(chains)]
 
@@ -547,31 +694,18 @@ def construct_stan_model_functions(model):
     ``param_names`` for constrained-parameter tracing).
     """
     import jax
-    import jax.numpy as jnp  # noqa: F401 - kept for parity with callers
+    import jax.numpy as jnp
 
     dim = model.param_unc_num()
-    # Callback results must use the canonical JAX float dtype: 64-bit
-    # result shapes are rejected when x64 is disabled (the default f32
-    # library mode); the host side computes in f64 and casts.
-    import jax.numpy as _jnp
-
-    dtype = np.dtype(_jnp.result_type(float))
+    dtype = np.dtype(jnp.result_type(float))
 
     def _host_val_and_grad(q):
         val, grad = model.log_density_gradient(np.asarray(q, np.float64))
         return np.asarray(-val, dtype), np.asarray(-grad, dtype)
 
-    def grad_neg_log_dens(q):
-        val_shape = jax.ShapeDtypeStruct((), dtype)
-        grad_shape = jax.ShapeDtypeStruct((dim,), dtype)
-        val, grad = jax.pure_callback(
-            _host_val_and_grad, (val_shape, grad_shape), q,
-            vmap_method="sequential",
-        )
-        return grad, val
-
-    def neg_log_dens(q):
-        return grad_neg_log_dens(q)[1]
+    neg_log_dens, grad_neg_log_dens = make_callback_grad_neg_log_dens(
+        _host_val_and_grad, dim, dtype,
+    )
 
     # Constrained-parameter tracing (mici/interop.py:398-411): bridgestan
     # exposes the constraining transform as ``param_constrain``.
@@ -650,18 +784,19 @@ def sample_stan_model(model_code_or_model, data=None, *, num_samples=1000,
         ...)`` arrays, or an ``arviz.InferenceData`` when
         ``return_inferencedata=True``.
     """
-    from mici_tpu import adapters as _adapters
     from mici_tpu import integrators as _integrators
     from mici_tpu import samplers as _samplers
-    from mici_tpu import stagers as _stagers
     from mici_tpu import systems as _systems
 
     if return_inferencedata and importlib.util.find_spec("arviz") is None:
         msg = "Cannot return InferenceData as ArviZ is not installed"
         raise ValueError(msg)
-    if metric not in ("unit_e", "diag_e", "dense_e"):
-        msg = 'metric must be one of "unit_e", "diag_e" or "dense_e"'
-        raise ValueError(msg)
+    # Validates `metric` regardless of adapt_engaged (reference behavior).
+    adapters, stager = resolve_stan_adaptation(
+        metric, adapt_engaged, delta=delta, gamma=gamma, kappa=kappa,
+        t0=t0, init_buffer=init_buffer, term_buffer=term_buffer,
+        window=window,
+    )
 
     if isinstance(model_code_or_model, str):
         bridgestan = _require("bridgestan")
@@ -682,31 +817,6 @@ def sample_stan_model(model_code_or_model, data=None, *, num_samples=1000,
         system, integrator, int(rng.integers(2**31 - 1)),
         max_tree_depth=max_depth,
     )
-
-    if adapt_engaged:
-        adapters = [
-            _adapters.DualAveragingStepSizeAdapter(
-                adapt_stat_target=delta,
-                iter_offset=t0,
-                iter_decay_coeff=kappa,
-                log_step_size_reg_coefficient=gamma,
-            ),
-        ]
-        if metric == "diag_e":
-            adapters.append(_adapters.OnlineVarianceMetricAdapter())
-        elif metric == "dense_e":
-            adapters.append(_adapters.OnlineCovarianceMetricAdapter())
-        if len(adapters) > 1:
-            stager = _stagers.WindowedWarmUpStager(
-                n_init_fast_stage_iter=init_buffer,
-                n_final_fast_stage_iter=term_buffer,
-                n_init_slow_window_iter=window,
-            )
-        else:
-            stager = _stagers.WarmUpStager()
-    else:
-        adapters = None
-        stager = None
 
     dim_u = model.param_unc_num()
     init_states = rng.uniform(-2, 2, size=(num_chains, dim_u))

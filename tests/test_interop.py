@@ -10,6 +10,8 @@ bridgestan-style model (the `pure_callback` machinery runs for real).
 import sys
 import types
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -319,3 +321,129 @@ def test_contract_resolves_on_real_package(package):
         obj = mod
         for part in path.split("."):
             obj = getattr(obj, part)
+
+
+# ---------------------------------------------------------------------------
+# Dependency-free bridge cores (round-5 thinning of the real-library
+# adapters: these run with no external package installed)
+# ---------------------------------------------------------------------------
+
+
+def test_split_flat_vector_blocks():
+    entries = [("a", (2, 2), 4), ("b", (), 1), ("c", (3,), 3)]
+    pos = jnp.arange(8.0)
+    parts = interop.split_flat_vector(pos, entries)
+    np.testing.assert_array_equal(
+        np.asarray(parts[0]), [[0.0, 1.0], [2.0, 3.0]],
+    )
+    assert np.asarray(parts[1]).shape == ()
+    assert float(parts[1]) == 4.0
+    np.testing.assert_array_equal(np.asarray(parts[2]), [5.0, 6.0, 7.0])
+
+
+def test_make_callback_grad_neg_log_dens_roundtrip():
+    """The shared pure_callback wrapper evaluates a host density inside
+    jit / vmap / as a gradient source with correct values."""
+    dim = 3
+    scale = np.array([1.0, 2.0, 3.0])
+    dtype = np.dtype(jnp.result_type(float))
+
+    def host_val_and_grad(q):
+        q = np.asarray(q, np.float64)
+        val = 0.5 * np.sum((q / scale) ** 2)
+        return np.asarray(val, dtype), np.asarray(q / scale**2, dtype)
+
+    nld, grad_nld = interop.make_callback_grad_neg_log_dens(
+        host_val_and_grad, dim,
+    )
+    q = jnp.asarray([1.0, 2.0, 3.0])
+    expected_val = 0.5 * np.sum((np.asarray(q) / scale) ** 2)
+    assert np.allclose(float(jax.jit(nld)(q)), expected_val)
+    grad, val = jax.jit(grad_nld)(q)
+    assert np.allclose(float(val), expected_val)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(q) / scale**2, rtol=1e-6,
+    )
+    # vmapped chains serialize through the callback
+    batch = jnp.stack([q, 2 * q])
+    vals = jax.jit(jax.vmap(nld))(batch)
+    assert vals.shape == (2,)
+    assert np.allclose(float(vals[1]), 4 * expected_val)
+
+
+def test_resolve_pymc_init_strategies():
+    assert interop.resolve_pymc_init("auto") == (False, True)
+    assert interop.resolve_pymc_init("adapt_diag") == (False, False)
+    assert interop.resolve_pymc_init("jitter+adapt_full") == (True, True)
+    assert interop.resolve_pymc_init("adapt_full") == (True, False)
+    with pytest.raises(ValueError, match="init must be"):
+        interop.resolve_pymc_init("advi")
+
+
+def test_jittered_init_states_retries_until_finite():
+    """Draws are retried per chain until the density is finite, consuming
+    the generator draw by draw (reference: mici/interop.py:325-335)."""
+    mean = np.zeros(2)
+    calls = []
+
+    def neg_log_dens(q):
+        # Finite only when the first coordinate is positive.
+        calls.append(np.array(q))
+        return 0.0 if q[0] > 0 else np.inf
+
+    rng = np.random.default_rng(3)
+    states = interop.jittered_init_states(
+        mean, 4, neg_log_dens, rng, jitter_max_retries=50,
+    )
+    assert len(states) == 4
+    for pos in states:
+        assert np.isfinite(neg_log_dens(pos))
+        assert np.all(np.abs(pos - mean) <= 1.0)
+    # Retries actually happened (some draws were rejected).
+    assert len(calls) > 4
+
+
+def test_jittered_init_states_keeps_last_draw_on_exhaustion():
+    mean = np.zeros(1)
+
+    def never_finite(q):
+        return np.inf
+
+    rng = np.random.default_rng(0)
+    states = interop.jittered_init_states(
+        mean, 2, never_finite, rng, jitter_max_retries=3,
+    )
+    assert len(states) == 2  # fallback: last draw kept, no raise
+
+
+def test_resolve_stan_adaptation_mapping():
+    from mici_tpu import adapters as _adapters
+    from mici_tpu import stagers as _stagers
+
+    adapters_list, stager = interop.resolve_stan_adaptation(
+        "dense_e", True, delta=0.9, gamma=0.02, kappa=0.7, t0=5,
+        init_buffer=10, term_buffer=20, window=8,
+    )
+    assert isinstance(
+        adapters_list[0], _adapters.DualAveragingStepSizeAdapter,
+    )
+    assert adapters_list[0].adapt_stat_target == 0.9
+    assert isinstance(
+        adapters_list[1], _adapters.OnlineCovarianceMetricAdapter,
+    )
+    assert isinstance(stager, _stagers.WindowedWarmUpStager)
+    assert stager.n_init_fast_stage_iter == 10
+    assert stager.n_final_fast_stage_iter == 20
+    assert stager.n_init_slow_window_iter == 8
+
+    adapters_list, stager = interop.resolve_stan_adaptation("diag_e", True)
+    assert isinstance(
+        adapters_list[1], _adapters.OnlineVarianceMetricAdapter,
+    )
+    adapters_list, stager = interop.resolve_stan_adaptation("unit_e", True)
+    assert len(adapters_list) == 1
+    assert isinstance(stager, _stagers.WarmUpStager)
+
+    assert interop.resolve_stan_adaptation("diag_e", False) == (None, None)
+    with pytest.raises(ValueError, match="metric"):
+        interop.resolve_stan_adaptation("sparse_e", True)
