@@ -517,7 +517,8 @@ def main():
         "softabs_eigh": {
             k: softabs_row.get(k)
             for k in ("dim", "eigh_auto_path", "chain_iters_per_sec",
-                      "blocked_over_xla_speedup", "mean_accept", "error")
+                      "auto_over_xla_speedup", "auto_over_blocked_speedup",
+                      "mean_accept", "error")
             if k in softabs_row
         },
         "chip_probe_steps_per_sec": full["chip_probe_steps_per_sec"],

@@ -110,27 +110,37 @@ def render(artifact: dict) -> str:
         )
     softabs = artifact.get("softabs_eigh_row", {})
     if softabs:
-        lines += ["", "### Blocked-eigh end-to-end row (SoftAbs RMHMC, "
-                  "auto-dispatched block-Jacobi eigh)", ""]
+        lines += ["", "### Dispatched-eigh end-to-end row (SoftAbs RMHMC "
+                  "through the generic driver)", ""]
         if "error" in softabs:
             lines.append(f"Row errored: {softabs['error']}")
         else:
             gate = softabs.get("moment_gate", {})
-            lines += [
+            parts = [
                 f"dim {_fmt(softabs.get('dim'))}, "
-                f"{_fmt(softabs.get('n_chain'))} chains, eigh path "
+                f"{_fmt(softabs.get('n_chain'))} chains, auto eigh path "
                 f"`{softabs.get('eigh_auto_path')}`: "
                 f"{_fmt(softabs.get('chain_iters_per_sec'))} chain-it/s, "
                 f"accept {_fmt(softabs.get('mean_accept'), 3)}, "
                 f"ESS/s {_fmt(softabs.get('ess_per_sec'), 1)}, "
                 f"exact-moment gate "
-                f"{'green' if gate.get('ok') else 'RED'}; "
-                f"blocked-over-XLA wall speedup "
-                f"{_fmt(softabs.get('blocked_over_xla_speedup'), 2)}× "
-                f"(XLA-eigh wall {_fmt(softabs.get('xla_eigh_wall_time_s'),
-                                       1)} s vs "
-                f"{_fmt(softabs.get('wall_time_s'), 1)} s).",
+                f"{'green' if gate.get('ok') else 'RED'}."
             ]
+            for mode in ("xla", "blocked", "kernel", "parallel"):
+                speedup = softabs.get(f"auto_over_{mode}_speedup")
+                if speedup is not None:
+                    parts.append(
+                        f"Auto over forced-`{mode}` wall speedup "
+                        f"{_fmt(speedup, 2)}× "
+                        f"({_fmt(softabs.get(f'{mode}_wall_time_s'), 1)} s "
+                        f"vs {_fmt(softabs.get('wall_time_s'), 1)} s).",
+                    )
+                elif f"{mode}_error" in softabs:
+                    parts.append(
+                        f"Forced-`{mode}` arm errored: "
+                        f"{softabs[f'{mode}_error']}.",
+                    )
+            lines.append(" ".join(parts))
     validation = artifact.get("moment_validation", {})
     if validation:
         lines += ["", "### Statistical gates", "",

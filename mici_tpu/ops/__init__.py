@@ -23,6 +23,7 @@ from mici_tpu.ops.batched_linalg import (  # noqa: F401
     batched_tril_inverse,
     blocked_cholesky,
     blocked_eigh,
+    parallel_jacobi_eigh,
     blocked_tril_inverse,
     blocked_tril_solve,
     blocked_tril_transpose_solve,

@@ -702,6 +702,146 @@ def blocked_tril_transpose_solve(tril, rhs, *, panel=_BLOCK_PANEL,
     return sol[:, :n]
 
 # ---------------------------------------------------------------------------
+# Small-N batched symmetric eigendecomposition in plain XLA ops
+# (parallel-order scalar Jacobi)
+# ---------------------------------------------------------------------------
+
+#: Sweep ceiling for the parallel-order scalar Jacobi (converges
+#: quadratically; the off-diagonal criterion exits earlier in practice).
+_PARALLEL_EIGH_MAX_SWEEPS = 14
+
+
+def parallel_jacobi_eigh(mats, *, max_sweeps=_PARALLEL_EIGH_MAX_SWEEPS):
+    """Batched symmetric eigendecomposition for small N in pure XLA ops.
+
+    Parallel-order (round-robin) **scalar** Jacobi: each of the ``n - 1``
+    rounds of a sweep pairs all ``n`` indices into ``n / 2`` disjoint
+    (p, q) pivots, annihilates every ``a_pq`` simultaneously with 2x2
+    rotations, and applies them as one block-diagonal rotation matrix
+    ``R`` per round — ``A <- R^T A R`` and ``V <- V R`` are plain batched
+    (N, N) matmuls.  Sweeps repeat under a ``while_loop`` with the same
+    scale-free off-diagonal stopping rule as :func:`blocked_eigh`.
+
+    This exists because both alternatives have pathological *compile*
+    cost on TPU at these shapes: XLA's QDWH ``eigh`` blows up compile
+    time inside nested ``while_loop``s (docs/BENCHMARKS.md round-1
+    "Compile-time engineering"), and the Pallas lane-kernel
+    :func:`batched_eigh` statically unrolls n(n-1)/2 rotation pairs in
+    its sweep body — measured **>9.5 minutes of Mosaic backend compile
+    at n = 32** on the current toolchain (round-4's unattributed 197.5 s
+    compile was this kernel at a smaller n).  The round body here traces
+    ~20 elementwise ops + 3 matmuls once, so the whole program compiles
+    in seconds; runtime stays MXU-friendly (three N^3 matmuls per
+    round).
+
+    Args:
+        mats: Array (B, N, N) of symmetric matrices, N >= 2 (both
+            triangles read; symmetrized internally per sweep).
+        max_sweeps: Sweep ceiling for the convergence loop.
+
+    Returns:
+        Tuple ``(eigenvalues, eigenvectors)`` of shapes (B, N) ascending
+        and (B, N, N) with eigenvectors as columns.  Not differentiable
+        itself; :func:`mici_tpu.ops.dispatch.eigh` wraps every path in
+        the closed-form symmetric-eigh ``custom_jvp``.
+    """
+    import numpy as np
+
+    b_sz, n_in, _ = mats.shape
+    dtype = mats.dtype
+    pad = n_in % 2
+    a0 = _pad_symmetric_separated(mats, pad)
+    n = n_in + pad
+    k = n // 2
+    # Element-level round-robin pairing = the block schedule at half=1.
+    perms_np, invs_np = _block_jacobi_schedule(n, 1)
+    perms, invs = jnp.asarray(perms_np), jnp.asarray(invs_np)
+    eps = jnp.finfo(dtype).eps
+    norm0 = jnp.maximum(
+        jnp.sqrt(jnp.sum(jnp.square(a0), axis=(-2, -1))), eps)
+    eye = jnp.eye(n, dtype=dtype)
+    # Static masks placing the per-pair sines at (2i, 2i+1) / (2i+1, 2i).
+    rows = np.arange(n)
+    up_mask = jnp.asarray(
+        (rows[:, None] + 1 == rows[None, :]) & (rows[:, None] % 2 == 0),
+        dtype,
+    )
+    dn_mask = jnp.swapaxes(up_mask, -2, -1)
+
+    def _off_frac(a):
+        off = a * (1.0 - eye)
+        return jnp.max(
+            jnp.sqrt(jnp.sum(jnp.square(off), axis=(-2, -1))) / norm0)
+
+    def _round(r, carry):
+        a, v = carry
+        perm = perms[r]
+        inv = invs[r]
+        ap = jnp.take(jnp.take(a, perm, axis=1), perm, axis=2)
+        diag = jnp.diagonal(ap, axis1=-2, axis2=-1)          # (B, n)
+        app, aqq = diag[:, 0::2], diag[:, 1::2]              # (B, k)
+        apq = jnp.diagonal(ap[:, 0::2, 1::2], axis1=-2, axis2=-1)
+        # Half-angle-tangent rotation (same well-conditioned form as the
+        # lane kernel): t = y/(r+x) for x >= 0 else (r-x)/y, with
+        # y = 2 a_pq, x = a_pp - a_qq; y == 0 -> identity rotation.
+        y = 2.0 * apq
+        x = app - aqq
+        r_hyp = jnp.sqrt(x * x + y * y)
+        nonzero = y != 0.0
+        safe_y = jnp.where(nonzero, y, 1.0)
+        t = jnp.where(
+            x >= 0.0,
+            safe_y / jnp.where(r_hyp + x > 0.0, r_hyp + x, 1.0),
+            (r_hyp - x) / safe_y,
+        )
+        t = jnp.where(nonzero, t, 0.0)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        c_full = jnp.repeat(c, 2, axis=-1)                   # (B, n)
+        s_full = jnp.repeat(s, 2, axis=-1)
+        # R = blockdiag([[c, -s], [s, c]]) in the permuted layout: the
+        # 2x2 *eigenvector* matrix of each pivot (columns), so the
+        # two-sided update below is A <- R^T A R (annihilating a_pq)
+        # and eigenvectors accumulate as V <- V R.
+        rot = (eye * c_full[:, None, :]
+               - up_mask * s_full[:, None, :]
+               + dn_mask * s_full[:, None, :])
+        ap = jnp.einsum("bji,bjk,bkl->bil", rot, ap, rot)
+        a = jnp.take(jnp.take(ap, inv, axis=1), inv, axis=2)
+        vp = jnp.take(v, perm, axis=2)
+        v = jnp.take(jnp.matmul(vp, rot), inv, axis=2)
+        return a, v
+
+    def _sweep(carry):
+        a, v, sweep = carry
+        a, v = jax.lax.fori_loop(0, n - 1, _round, (a, v))
+        a = (a + jnp.swapaxes(a, -2, -1)) / 2
+        return a, v, sweep + 1
+
+    def _continue(carry):
+        a, _, sweep = carry
+        return jnp.logical_and(sweep < max_sweeps, _off_frac(a) > 30 * eps)
+
+    v0 = jnp.broadcast_to(eye, a0.shape)
+    # Rotation applications must accumulate in full f32: at the TPU
+    # default (bf16 MXU passes) the accumulated rotation error destroys
+    # the decomposition (measured ~1e0 eigenvalue error at N=256 vs
+    # ~2e-4 at full precision), independent of the engine-wide policy.
+    with jax.default_matmul_precision("highest"):
+        a, v, _ = jax.lax.while_loop(
+            _continue, _sweep, (a0, v0, jnp.asarray(0, jnp.int32)))
+
+    w = jnp.diagonal(a, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    v = jnp.take_along_axis(v, order[:, None, :], axis=-1)
+    if pad:
+        w = w[:, :n_in]
+        v = v[:, :n_in, :n_in]
+    return w, v
+
+
+# ---------------------------------------------------------------------------
 # Blocked large-N batched symmetric eigendecomposition (parallel block
 # Jacobi)
 # ---------------------------------------------------------------------------
@@ -796,21 +936,24 @@ def blocked_eigh(mats, *, max_sweeps=_BLOCKED_EIGH_MAX_SWEEPS,
     Jacobi's quadratic convergence), up to ``max_sweeps``.
 
     This is the large-N continuation of the SoftAbs-metric eigh story
-    (reference kernel: mici/matrices.py:1631-1685): XLA's QDWH ``eigh``
-    parallelizes within one matrix and collapses on big batches of
-    mid-sized matrices (measured 469 ms for B=256, N=256 — ~40x slower
-    than the round-4 blocked Cholesky on the same shape).  Not
-    differentiable itself; :func:`mici_tpu.ops.dispatch.eigh` wraps every
-    path in the closed-form symmetric-eigh ``custom_jvp``.
+    (reference kernel: mici/matrices.py:1631-1685).  **Round-5 status:
+    force-only, not auto-dispatched** — measured head-to-head at
+    (B=64, N=256) on the current toolchain, XLA's native eigh runs
+    0.151 s steady vs 1.72 s for this composition, so
+    :func:`mici_tpu.ops.dispatch.eigh` routes large N to XLA and keeps
+    this path behind ``force_dispatch("blocked")`` for A/B benchmarking
+    (round-4's 469 ms XLA reading at B=256, N=256 did not reproduce).
+    Not differentiable itself; :func:`mici_tpu.ops.dispatch.eigh` wraps
+    every path in the closed-form symmetric-eigh ``custom_jvp``.
 
     Args:
         mats: Array (B, N, N) of symmetric matrices, N > 32 (both
             triangles read; symmetrized internally per sweep).
         max_sweeps: Sweep ceiling for the convergence loop.
-        pivot: Pivot-subproblem solver — ``"kernel"`` (lane-kernel
+        pivot: Pivot-subproblem solver — ``"parallel"``
+            (:func:`parallel_jacobi_eigh`), ``"kernel"`` (lane-kernel
             :func:`batched_eigh`), ``"xla"`` (``jnp.linalg.eigh``) or
-            ``None`` (kernel on TPU, XLA elsewhere; the interpreted
-            kernel would dominate CPU test wall time).
+            ``None`` (parallel on TPU, XLA elsewhere).
         interpret: Force Pallas interpreter mode for the pivot kernel.
 
     Returns:
@@ -820,8 +963,12 @@ def blocked_eigh(mats, *, max_sweeps=_BLOCKED_EIGH_MAX_SWEEPS,
     b_sz, n_in, _ = mats.shape
     dtype = mats.dtype
     if pivot is None:
-        pivot = "kernel" if _on_tpu() else "xla"
-    if pivot not in ("kernel", "xla"):
+        # "parallel" (pure-XLA scalar Jacobi) on TPU: the lane-kernel
+        # pivot has a >9.5-minute Mosaic backend compile at n=32
+        # (measured round 5), and XLA's QDWH blows up compile inside
+        # nested while_loops.  CPU keeps XLA (LAPACK) pivots.
+        pivot = "parallel" if _on_tpu() else "xla"
+    if pivot not in ("kernel", "xla", "parallel"):
         raise ValueError(f"invalid pivot solver: {pivot!r}")
     pair = 2 * _EIGH_PAIR_HALF
     pad = (-n_in) % pair
@@ -855,6 +1002,8 @@ def blocked_eigh(mats, *, max_sweeps=_BLOCKED_EIGH_MAX_SWEEPS,
         subs = (subs + jnp.swapaxes(subs, -2, -1)) / 2
         if pivot == "kernel":
             _, rot = batched_eigh(subs, interpret=interpret)
+        elif pivot == "parallel":
+            _, rot = parallel_jacobi_eigh(subs)
         else:
             _, rot = jnp.linalg.eigh(subs)
         rot = rot.reshape(b_sz, k, pair, pair)
@@ -884,8 +1033,11 @@ def blocked_eigh(mats, *, max_sweeps=_BLOCKED_EIGH_MAX_SWEEPS,
         return jnp.logical_and(sweep < max_sweeps, _off_frac(a) > 30 * eps)
 
     v0 = jnp.broadcast_to(eye, a0.shape)
-    a, v, _ = jax.lax.while_loop(
-        _continue, _sweep, (a0, v0, jnp.asarray(0, jnp.int32)))
+    # Full-precision rotation accumulation (same reasoning as
+    # parallel_jacobi_eigh: bf16 MXU passes destroy the decomposition).
+    with jax.default_matmul_precision("highest"):
+        a, v, _ = jax.lax.while_loop(
+            _continue, _sweep, (a0, v0, jnp.asarray(0, jnp.int32)))
 
     w = jnp.diagonal(a, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)

@@ -60,19 +60,21 @@ _MAX_KERNEL_N = 64
 _MIN_BLOCKED_BATCH = 64
 _MAX_BLOCKED_N = 512
 
-_FORCE_MODE = None  # None (auto) | "kernel" | "blocked" | "xla"
+#: None (auto) | "kernel" | "blocked" | "parallel" | "xla"
+_FORCE_MODE = None
 
 
 @contextlib.contextmanager
 def force_dispatch(mode):
-    """Force the dispatch decision: ``"kernel"``, ``"xla"`` or ``None``.
+    """Force the dispatch decision: ``"kernel"``, ``"blocked"``,
+    ``"parallel"``, ``"xla"`` or ``None`` (auto).
 
     Trace-time only — takes effect for code traced inside the context.
     Used by tests to exercise the kernel path on CPU (Pallas interpreter
     mode) and by benchmarks for A/B comparisons.
     """
     global _FORCE_MODE
-    if mode not in (None, "kernel", "blocked", "xla"):
+    if mode not in (None, "kernel", "blocked", "parallel", "xla"):
         raise ValueError(f"invalid dispatch mode: {mode!r}")
     previous = _FORCE_MODE
     _FORCE_MODE = mode
@@ -445,32 +447,62 @@ def solve_triangular_mat(a, b, *, lower=True, trans=False):
 # Symmetric eigendecomposition
 # ---------------------------------------------------------------------------
 
-#: Above this size the fixed-sweep Jacobi kernel's O(n^3) rotation count
-#: stops beating XLA's eigh even for large batches.
+#: Ceiling for the Pallas fixed-sweep Jacobi lane kernel when *forced*
+#: (``force_dispatch("kernel")``).  The kernel is no longer auto-routed:
+#: its sweep body statically unrolls n(n-1)/2 rotation pairs and the
+#: Mosaic backend compile blows up superlinearly — measured **>9.5
+#: minutes at n = 32** on the current toolchain (round-4's unattributed
+#: 197.5 s compile).  The auto small-N path is the pure-XLA
+#: :func:`mici_tpu.ops.batched_linalg.parallel_jacobi_eigh` instead.
 _MAX_EIGH_KERNEL_N = 32
 
+#: Auto window for the parallel-order scalar-Jacobi eigh: measured on
+#: chip (round 5) it beats XLA's QDWH eigh at (B=512, N=32) 0.073 s vs
+#: 0.093 s and (B=1024, N=16) 0.052 s vs 0.057 s steady-state, compiles
+#: in ~3 s standalone, and — the round-1 motivation — its loop graph is
+#: tiny, so inlining it at every metric-rebuild site inside the implicit
+#: integrators' nested ``while_loop``s keeps full-program compile sane
+#: where inlined QDWH took >9 minutes.  Rounds scale with N, so above
+#: this ceiling XLA's within-matrix parallelism wins at runtime
+#: (measured at (B=64, N=256): XLA 0.151 s vs blocked-Jacobi 1.72 s).
+_MAX_EIGH_PARALLEL_N = 64
+_MIN_EIGH_PARALLEL_BATCH = 64
 
-def _use_blocked_eigh(batch, n, dtype):
-    if _FORCE_MODE == "blocked":
+
+def _use_parallel_eigh(batch, n, dtype):
+    if _FORCE_MODE == "parallel":
         return True
-    if _FORCE_MODE in ("xla", "kernel"):
+    if _FORCE_MODE in ("xla", "kernel", "blocked"):
         return False
     return (
         _bl._on_tpu()
         and dtype == jnp.float32
-        and batch >= _MIN_BLOCKED_BATCH
-        and _MAX_EIGH_KERNEL_N < n <= _MAX_BLOCKED_N
+        and batch >= _MIN_EIGH_PARALLEL_BATCH
+        and 8 < n <= _MAX_EIGH_PARALLEL_N
     )
+
+
+def _use_blocked_eigh(batch, n, dtype):
+    # Never auto-routed (round 5): at its target regime (B=64, N=256)
+    # the blocked block-Jacobi runs 11x slower than XLA's native eigh on
+    # the current toolchain (1.72 s vs 0.151 s steady), and its TPU
+    # pivot solver (the Pallas lane kernel at n=32) has a >9.5-minute
+    # backend compile.  Kept as a forced mode for A/B benchmarking.
+    return _FORCE_MODE == "blocked"
 
 
 def _eigh_impl(a):
     if a.ndim > 2:
         batch = math.prod(a.shape[:-2])
         n = a.shape[-1]
-        if (n <= _MAX_EIGH_KERNEL_N
-                and _use_kernel(batch, n, a.dtype)):
+        if (_FORCE_MODE == "kernel" and n <= _MAX_EIGH_KERNEL_N):
             flat = a.reshape((-1,) + a.shape[-2:])
             w, v = _bl.batched_eigh(flat, interpret=_interpret_flag())
+            return (w.reshape(a.shape[:-2] + w.shape[-1:]),
+                    v.reshape(a.shape))
+        if _use_parallel_eigh(batch, n, a.dtype):
+            flat = a.reshape((-1,) + a.shape[-2:])
+            w, v = _bl.parallel_jacobi_eigh(flat)
             return (w.reshape(a.shape[:-2] + w.shape[-1:]),
                     v.reshape(a.shape))
         if _use_blocked_eigh(batch, n, a.dtype):

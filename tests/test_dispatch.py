@@ -427,9 +427,12 @@ def test_eigh_blocked_two_separate_jit_traces():
     assert type(inv).__module__.startswith("numpy")
 
 
-def test_eigh_blocked_dispatch_policy():
-    """Auto policy for eigh: lane kernel to N=32, blocked block-Jacobi
-    for 32 < N <= 512 at batch >= 64 on TPU f32, XLA elsewhere."""
+def test_eigh_dispatch_policy():
+    """Auto policy for eigh (round 5): parallel-order scalar Jacobi for
+    8 < N <= 64 at batch >= 64 on TPU f32; XLA everywhere else.  The
+    Pallas lane kernel and the blocked block-Jacobi are force-only (the
+    kernel's Mosaic compile blows up at n=32; the blocked path loses to
+    XLA 11x at its target regime — measured round 5)."""
     import jax.numpy as jnp_
 
     from mici_tpu.ops import dispatch as d
@@ -437,14 +440,54 @@ def test_eigh_blocked_dispatch_policy():
     orig = d._bl._on_tpu
     d._bl._on_tpu = lambda: True
     try:
-        assert d._use_blocked_eigh(64, 33, jnp_.float32)
-        assert d._use_blocked_eigh(256, 512, jnp_.float32)
-        assert not d._use_blocked_eigh(256, 513, jnp_.float32)
-        assert not d._use_blocked_eigh(32, 256, jnp_.float32)
-        assert not d._use_blocked_eigh(256, 32, jnp_.float32)
-        assert not d._use_blocked_eigh(256, 256, jnp_.float64)
+        assert d._use_parallel_eigh(64, 9, jnp_.float32)
+        assert d._use_parallel_eigh(64, 32, jnp_.float32)
+        assert d._use_parallel_eigh(1024, 64, jnp_.float32)
+        assert not d._use_parallel_eigh(64, 65, jnp_.float32)
+        assert not d._use_parallel_eigh(63, 32, jnp_.float32)
+        assert not d._use_parallel_eigh(64, 8, jnp_.float32)
+        assert not d._use_parallel_eigh(64, 32, jnp_.float64)
+        # blocked / kernel never auto-selected
+        assert not d._use_blocked_eigh(64, 256, jnp_.float32)
+        assert not d._use_blocked_eigh(256, 512, jnp_.float32)
+        with d.force_dispatch("blocked"):
+            assert d._use_blocked_eigh(1, 256, jnp_.float64)
+        with d.force_dispatch("parallel"):
+            assert d._use_parallel_eigh(1, 256, jnp_.float64)
+        with d.force_dispatch("xla"):
+            assert not d._use_parallel_eigh(64, 32, jnp_.float32)
     finally:
         d._bl._on_tpu = orig
+
+
+def test_eigh_parallel_mode_matches_xla():
+    """force_dispatch("parallel") routes dispatch.eigh through the
+    pure-XLA parallel-order Jacobi with matching values and gradients
+    (the auto path for 8 < N <= 64 TPU f32 batches)."""
+    n = 24
+    sym = jnp.asarray(_sym_batch(6, n, seed=SEED + 37))
+    with ops.force_dispatch("parallel"):
+        w_p, v_p = jax.jit(jax.vmap(dispatch.eigh))(sym)
+    w_ref, _ = np.linalg.eigh(np.asarray(sym))
+    np.testing.assert_allclose(np.asarray(w_p), w_ref, atol=1e-9)
+    recon = np.einsum(
+        "bij,bj,bkj->bik", np.asarray(v_p), np.asarray(w_p),
+        np.asarray(v_p))
+    np.testing.assert_allclose(recon, np.asarray(sym), atol=1e-9)
+
+    x = jnp.arange(1.0, n + 1)
+
+    def loss(ms, mode):
+        def per(m):
+            w, v = dispatch.eigh(m)
+            return x @ (v @ (jnp.logaddexp(0.0, w) * (v.T @ x)))
+        with ops.force_dispatch(mode):
+            return jnp.sum(jax.vmap(per)(ms))
+
+    g_parallel = jax.grad(loss)(sym, "parallel")
+    g_xla = jax.grad(loss)(sym, "xla")
+    np.testing.assert_allclose(
+        np.asarray(g_parallel), np.asarray(g_xla), atol=1e-8)
 
 
 def _tril_batch(b, n, seed=SEED):

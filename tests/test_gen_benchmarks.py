@@ -48,10 +48,11 @@ def test_render_synthetic_artifact():
              "frac_of_probe_peak": 0.5},
         ],
         "softabs_eigh_row": {
-            "dim": 256, "n_chain": 64, "eigh_auto_path": "blocked",
+            "dim": 64, "n_chain": 64, "eigh_auto_path": "parallel",
             "chain_iters_per_sec": 7.0, "mean_accept": 0.9,
             "ess_per_sec": 3.0, "wall_time_s": 2.0,
-            "xla_eigh_wall_time_s": 4.0, "blocked_over_xla_speedup": 2.0,
+            "xla_wall_time_s": 4.0, "auto_over_xla_speedup": 2.0,
+            "blocked_error": "Timeout",
             "moment_gate": {"ok": True},
         },
         "moment_validation": {"g1": {"ok": True}, "g2": {"ok": False}},
@@ -78,7 +79,9 @@ def test_render_synthetic_artifact():
     assert "2,000" in region            # summary-only rate
     assert "error: Boom" in region      # error row survives
     assert "0.500" in region            # roofline fraction
-    assert "`blocked`" in region        # softabs eigh path
+    assert "`parallel`" in region       # softabs eigh auto path
+    assert "2.00×" in region            # A/B speedup rendered
+    assert "Forced-`blocked` arm errored" in region
     assert "❌ FAIL" in region          # failing gate visible
     assert "jit(step)" in region        # compile attribution
     assert "10.0× cut" in region.replace("\n", " ")  # cache demo

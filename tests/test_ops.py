@@ -321,6 +321,53 @@ def test_blocked_eigh_f32_large():
     np.testing.assert_allclose(recon, mats, atol=3e-5 * scale)
 
 
+@pytest.mark.parametrize("b,n", [(16, 2), (8, 5), (8, 16), (4, 32), (3, 33)])
+def test_parallel_jacobi_eigh(b, n):
+    """Parallel-order scalar-Jacobi eigh (pure XLA ops) matches numpy at
+    even and odd sizes (padded)."""
+    from mici_tpu.ops import parallel_jacobi_eigh
+
+    rng = np.random.default_rng(SEED + 24)
+    a = rng.standard_normal((b, n, n))
+    mats = (a + np.swapaxes(a, -2, -1)) / 2
+    w, v = jax.jit(parallel_jacobi_eigh)(jnp.asarray(mats))
+    w, v = np.asarray(w), np.asarray(v)
+    w_ref = np.linalg.eigvalsh(mats)
+    scale = np.abs(w_ref).max()
+    np.testing.assert_allclose(w, w_ref, atol=1e-8 * scale)
+    np.testing.assert_allclose(
+        np.einsum("bij,bik->bjk", v, v), np.broadcast_to(np.eye(n), v.shape),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.einsum("bij,bj,bkj->bik", v, w, v), mats, atol=1e-7 * scale,
+    )
+
+
+def test_parallel_jacobi_eigh_f32_and_degenerate():
+    """f32 accuracy at the dispatch ceiling size plus exactness on
+    already-diagonal and fully degenerate spectra."""
+    from mici_tpu.ops import parallel_jacobi_eigh
+
+    rng = np.random.default_rng(SEED + 25)
+    n = 32
+    a = rng.standard_normal((8, n, n)).astype(np.float32)
+    mats = (a + np.swapaxes(a, -2, -1)) / 2
+    w, v = parallel_jacobi_eigh(jnp.asarray(mats))
+    w_ref = np.linalg.eigvalsh(mats.astype(np.float64))
+    scale = np.abs(w_ref).max()
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=3e-5 * scale)
+    recon = np.einsum(
+        "bij,bj,bkj->bik", np.asarray(v), np.asarray(w), np.asarray(v))
+    np.testing.assert_allclose(recon, mats, atol=3e-5 * scale)
+
+    d = np.arange(1.0, n + 1)[::-1].copy()
+    special = np.stack([np.diag(d), np.eye(n) * 3.0])
+    w, v = parallel_jacobi_eigh(jnp.asarray(special))
+    np.testing.assert_allclose(np.asarray(w)[0], np.sort(d), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(w)[1], np.full(n, 3.0), atol=1e-12)
+
+
 @pytest.mark.parametrize("b,n", [(8, 4), (40, 8), (130, 16)])
 def test_batched_tril_inverse(b, n):
     from mici_tpu.ops import batched_tril_inverse
