@@ -298,6 +298,64 @@ def measure_persistent_cache_effect(timeout=420):
     return results
 
 
+def run_softabs_row_isolated(probe_rate, cache_dir, timeout=2400):
+    """Run the SoftAbs dispatched-eigh row in an isolated subprocess.
+
+    Round 5 observed this row faulting the shared TPU worker ("TPU
+    worker process crashed or restarted" — long device executions trip
+    the worker's execution deadline), which poisons every later JAX
+    call in the launching process — in the first round-5 bench run
+    that turned one bad row into a dead artifact.  Isolation bounds the
+    blast radius: a fault or hang costs exactly one ``error`` row, and
+    this row runs *last* so a dead worker cannot take other sections
+    with it.  The subprocess re-uses the persistent XLA cache via
+    ``MICI_TPU_XLA_CACHE`` and streams two result lines — the gated
+    auto row first, then the (slower) forced-mode A/B arms — so even a
+    timeout keeps the production row (partial stdout is parsed).
+    """
+    env = dict(os.environ)
+    if cache_dir:
+        env["MICI_TPU_XLA_CACHE"] = str(cache_dir)
+    cmd = [sys.executable, "-m", "benchmarks.softabs_row", "--subprocess"]
+    if probe_rate:
+        cmd += ["--probe-rate", str(probe_rate)]
+    timed_out = False
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout, env=env,
+            cwd=str(Path(__file__).parent),
+        )
+        stdout, stderr, rc = proc.stdout, proc.stderr, proc.returncode
+    except subprocess.TimeoutExpired as exc:
+        timed_out = True
+        stdout = (exc.stdout or b"")
+        stderr = (exc.stderr or b"")
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode(errors="replace")
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode(errors="replace")
+        rc = None
+    except OSError as exc:  # pragma: no cover - robustness
+        return {"config": "softabs_eigh_row",
+                "error": f"{type(exc).__name__}: {exc}"}
+    row = None
+    for line in (stdout or "").splitlines():
+        if line.startswith("SOFTABS_ROW "):
+            row = json.loads(line[len("SOFTABS_ROW "):])
+        elif line.startswith("SOFTABS_AB ") and row is not None:
+            row.update(json.loads(line[len("SOFTABS_AB "):]))
+    if row is not None:
+        if timed_out and "ab_n_warm" not in row:
+            row["ab_error"] = f"TimeoutExpired: arms cut at {timeout}s"
+        return row
+    if timed_out:
+        return {"config": "softabs_eigh_row",
+                "error": f"TimeoutExpired: >{timeout}s in subprocess"}
+    tail = (stderr or stdout or "").strip().splitlines()
+    return {"config": "softabs_eigh_row",
+            "error": f"subprocess rc={rc}: " + " | ".join(tail[-3:])}
+
+
 def run_moment_validation(banana_traces, config_traces, ref_traces):
     """On-chip f32 posterior-moment checks on the same runs the perf
     numbers come from (VERDICT round-2 item 4; extended to every config
@@ -436,28 +494,30 @@ def main():
                            "error": f"{type(exc).__name__}: {exc}"}
                 _log(f"roofline dim {dim}: {json.dumps(row)}")
                 roofline_rows.append(row)
-            # Blocked-eigh end-to-end row (VERDICT r4 #2): SoftAbs RMHMC
-            # at dim 256 through the generic driver, auto-dispatched to
-            # the blocked block-Jacobi eigh, exact-moment gated, with a
-            # same-shape A/B vs XLA's native eigh.
-            try:
-                from benchmarks.softabs_row import run_softabs_eigh_row
-
-                softabs_row = run_softabs_eigh_row(measure_chip_probe())
-            except Exception as exc:  # pragma: no cover - robustness
-                softabs_row = {"error": f"{type(exc).__name__}: {exc}"}
-            _log(f"softabs eigh row: {json.dumps(softabs_row)}")
-            if softabs_row.get("moment_gate") is not None:
-                moment_validation["softabs_eigh_dim256"] = (
-                    softabs_row["moment_gate"]
-                )
-        probe_end = measure_chip_probe()
+        # End probe BEFORE the softabs row: the row runs in an isolated
+        # subprocess *last* because a TPU worker fault inside it (seen
+        # round 5) poisons every later JAX call in this process.
+        try:
+            probe_end = measure_chip_probe()
+        except Exception as exc:  # pragma: no cover - robustness
+            probe_end = None
+            _log(f"chip probe (end) failed: {type(exc).__name__}: {exc}")
         _log(f"chip probe (end): {probe_end} matmul-steps/s")
 
     cache_effect = {}
     if not headline_only:
         cache_effect = measure_persistent_cache_effect()
         _log(f"persistent-cache cold/warm: {json.dumps(cache_effect)}")
+        # Dispatched-eigh end-to-end row (VERDICT r4 #2): SoftAbs RMHMC
+        # at dim 64 through the generic driver, auto-dispatched to the
+        # parallel-Jacobi eigh, exact-moment gated, with same-shape A/B
+        # arms vs forced XLA / blocked modes.  Runs in a subprocess as
+        # the final TPU-touching section (see run_softabs_row_isolated).
+        softabs_row = run_softabs_row_isolated(probe_end, cache_dir)
+        _log(f"softabs eigh row: {json.dumps(softabs_row)}")
+        if softabs_row.get("moment_gate") is not None:
+            moment_validation[softabs_row.get(
+                "config", "softabs_eigh_row")] = softabs_row["moment_gate"]
 
     # Full machine-readable detail to a file; the final stdout line is a
     # compact summary the driver's bounded capture can always parse

@@ -125,15 +125,29 @@ def run_roofline_row(probe_rate, dim=512, n_chain=None, n_step=4,
         the achieved fraction.
     """
     if n_chain is None:
-        # HBM-safe default batch per dim (metric/factor/AD buffers are
-        # O(n_chain * dim^2); 256 chains at dim 512 crashed the worker).
-        n_chain = 16 if dim >= 1024 else (64 if dim >= 512 else 256)
+        # Batch per dim: round 4 capped these after "256 chains at
+        # dim 512 crashed the worker" — round 5 showed that crash was
+        # the worker's execution deadline, not HBM, and guard-mode
+        # time-capped chunking removes it: dim 512 x 256 chains runs
+        # clean at 1.17 TFLOP/s = 65% of probe peak (vs 0.86 / 54% at
+        # 64 chains, same window).
+        n_chain = 64 if dim >= 1024 else 256
     sampler, system, integrator, init_states = make_roofline_setup(
         dim, n_chain, n_step, solver_iters, seed,
     )
     kwargs = {
         "adapters": None,
         "trace_funcs": [lambda state: {"pos": state.pos[:4]}],
+        # The shared dev TPU worker kills device executions on the order
+        # of a minute (measured round 5 with a plain matmul scan — what
+        # round 4 misattributed to HBM when 256 chains at dim 512
+        # "crashed the worker": that batch merely pushed one whole-stage
+        # execution past the deadline).  Guard-mode time-capped
+        # chunking: a static 8-iteration chunk (~2-8 s at these
+        # shapes, one extra compiled length) that only shrinks if a
+        # chunk's measured wall blows the target.
+        "chunk_size": 8,
+        "max_chunk_seconds": 12.0,
     }
     # Warm compile (one-off cost), then median-of-N timed runs.
     sampler.sample_chains(
@@ -193,12 +207,11 @@ if __name__ == "__main__":
     args = parser.parse_args()
     for dim in args.dims:
         n_chain = args.n_chain
-        # Metric + factor + AD residual buffers are O(n_chain * dim^2):
-        # 256 chains at dim 512 exhausted HBM and crashed the TPU worker
-        # (round 4), so the sweep scales the batch down with dim.
+        # Round 4's "256 chains at dim 512 crashed the worker" was the
+        # worker's execution deadline (round-5 measurement), which
+        # guard-mode time-capped chunking removes; dim 1024 still
+        # scales the batch down for HBM headroom.
         if dim >= 1024:
-            n_chain = min(n_chain, 16)
-        elif dim >= 512:
             n_chain = min(n_chain, 64)
         probe = bench.measure_chip_probe()
         row = run_roofline_row(

@@ -148,6 +148,17 @@ def _timed_run(sampler, init, n_warm, n_main, trace_dim_cap=8):
     kwargs = {
         "adapters": None,
         "trace_funcs": [lambda state: {"pos": state.pos[:trace_dim_cap]}],
+        # Implicit SoftAbs RMHMC at dim 64 runs ~seconds per iteration
+        # on slow chip windows: the auto chunk of 16 iterations made one
+        # device execution of ~1-2 minutes, which the shared dev TPU
+        # worker's execution deadline killed ("TPU worker process
+        # crashed or restarted" — measured round 5, reproducible with a
+        # plain matmul scan at ~150 s).  Guard-mode time-capped
+        # chunking: a static 4-iteration chunk (known safe, one compiled
+        # length) that only shrinks if a chunk's measured wall blows the
+        # target; results are bit-identical under any chunking.
+        "chunk_size": 4,
+        "max_chunk_seconds": 12.0,
     }
     t0 = time.perf_counter()
     out = sampler.sample_chains(
@@ -182,7 +193,7 @@ def _measure_mode(mode, dim, n_chain, n_warm, n_main, n_repeat, seed):
 
 
 def run_softabs_eigh_row(probe_rate=None, dim=DIM, n_chain=N_CHAIN,
-                         n_warm=16, n_main=96, n_repeat=2, seed=0,
+                         n_warm=8, n_main=48, n_repeat=1, seed=0,
                          ab_modes=("xla", "blocked")):
     """Run the SoftAbs eigh row and return a JSON-ready artifact dict.
 
@@ -245,19 +256,6 @@ def run_softabs_eigh_row(probe_rate=None, dim=DIM, n_chain=N_CHAIN,
         mean_atol=float(mean_atol), var_rtol=float(var_rtol),
     )
 
-    # --- A/B arms: same shapes, own compiles ----------------------------
-    for mode in ab_modes:
-        try:
-            mode_elapsed, mode_walls, _ = _measure_mode(
-                mode, dim, n_chain, n_warm, n_main, n_repeat, seed,
-            )
-        except Exception as exc:  # pragma: no cover - robustness
-            row[f"{mode}_error"] = f"{type(exc).__name__}: {exc}"
-            continue
-        row[f"{mode}_wall_time_s"] = round(mode_elapsed, 3)
-        row[f"{mode}_wall_repeats"] = [round(w, 3) for w in mode_walls]
-        row[f"auto_over_{mode}_speedup"] = round(mode_elapsed / elapsed, 2)
-
     if probe_rate:
         from benchmarks.roofline import PROBE_FLOPS_PER_STEP
 
@@ -268,8 +266,78 @@ def run_softabs_eigh_row(probe_rate=None, dim=DIM, n_chain=N_CHAIN,
     return row
 
 
-if __name__ == "__main__":
-    import json
+def run_softabs_ab_arms(auto_iters_per_sec, dim=DIM, n_chain=N_CHAIN,
+                        n_warm=2, n_main=16, seed=0,
+                        ab_modes=("xla", "blocked")):
+    """Same-shape forced-dispatch A/B arms for the SoftAbs row.
 
-    row = run_softabs_eigh_row()
-    print(json.dumps(row, indent=1))
+    Separate from the auto row (and run after it) so a pathologically
+    slow arm — forced-XLA eigh inside the implicit integrators' nested
+    ``while_loop``s cost minutes of compile in round-1 measurements —
+    can time out without losing the production row.  Arms run fewer
+    iterations than the gated auto row (per-iteration work is
+    identical under any chunking, so per-iteration *rates* compare
+    across different iteration counts); each arm reports its wall and
+    the auto/arm per-iteration speedup.
+    """
+    ab = {"ab_n_warm": n_warm, "ab_n_main": n_main}
+    for mode in ab_modes:
+        try:
+            mode_elapsed, mode_walls, _ = _measure_mode(
+                mode, dim, n_chain, n_warm, n_main, 1, seed,
+            )
+        except Exception as exc:  # pragma: no cover - robustness
+            ab[f"{mode}_error"] = f"{type(exc).__name__}: {exc}"
+            continue
+        mode_rate = n_chain * (n_warm + n_main) / mode_elapsed
+        ab[f"{mode}_wall_time_s"] = round(mode_elapsed, 3)
+        ab[f"{mode}_wall_repeats"] = [round(w, 3) for w in mode_walls]
+        ab[f"{mode}_chain_iters_per_sec"] = round(mode_rate, 1)
+        if auto_iters_per_sec:
+            ab[f"auto_over_{mode}_speedup"] = round(
+                auto_iters_per_sec / mode_rate, 2)
+    return ab
+
+
+def main(argv=None):
+    """CLI / subprocess entry.
+
+    ``bench.py`` runs this row in a **subprocess** (``--subprocess``):
+    round 5 measured long device executions faulting the shared TPU
+    worker, which poisons every later JAX call in the launching
+    process — isolating the row means a fault costs one error row
+    instead of the whole artifact.  Subprocess protocol: the gated
+    auto-dispatch row prints as ``SOFTABS_ROW <json>`` *immediately*
+    after it is measured, then the A/B arms print as
+    ``SOFTABS_AB <json>`` — so a timeout or fault during the (slower,
+    optional) arms can never lose the production row.  Both lines are
+    parsed and merged by ``bench.run_softabs_row_isolated``.
+    """
+    import argparse
+    import json
+    import os
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--probe-rate", type=float, default=None)
+    parser.add_argument("--subprocess", action="store_true")
+    parser.add_argument("--skip-ab", action="store_true")
+    args = parser.parse_args(argv)
+    cache_dir = os.environ.get("MICI_TPU_XLA_CACHE")
+    if cache_dir:
+        from mici_tpu.profiling import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache(cache_dir)
+    row = run_softabs_eigh_row(probe_rate=args.probe_rate)
+    if args.subprocess:
+        print("SOFTABS_ROW " + json.dumps(row), flush=True)
+    if not args.skip_ab:
+        ab = run_softabs_ab_arms(row.get("chain_iters_per_sec"))
+        row.update(ab)
+        if args.subprocess:
+            print("SOFTABS_AB " + json.dumps(ab), flush=True)
+    if not args.subprocess:
+        print(json.dumps(row, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -129,17 +129,21 @@ def render(artifact: dict) -> str:
             for mode in ("xla", "blocked", "kernel", "parallel"):
                 speedup = softabs.get(f"auto_over_{mode}_speedup")
                 if speedup is not None:
+                    mode_rate = softabs.get(f"{mode}_chain_iters_per_sec")
                     parts.append(
-                        f"Auto over forced-`{mode}` wall speedup "
-                        f"{_fmt(speedup, 2)}× "
-                        f"({_fmt(softabs.get(f'{mode}_wall_time_s'), 1)} s "
-                        f"vs {_fmt(softabs.get('wall_time_s'), 1)} s).",
+                        f"Auto over forced-`{mode}` per-iteration "
+                        f"speedup {_fmt(speedup, 2)}× "
+                        f"({_fmt(mode_rate)} vs "
+                        f"{_fmt(softabs.get('chain_iters_per_sec'))} "
+                        "chain-it/s).",
                     )
                 elif f"{mode}_error" in softabs:
                     parts.append(
                         f"Forced-`{mode}` arm errored: "
                         f"{softabs[f'{mode}_error']}.",
                     )
+            if "ab_error" in softabs:
+                parts.append(f"A/B arms: {softabs['ab_error']}.")
             lines.append(" ".join(parts))
     validation = artifact.get("moment_validation", {})
     if validation:

@@ -292,24 +292,122 @@ def describe(memmap_path):
     return lines
 
 
+def load_builder(spec):
+    """Resolve a ``module:function`` / ``file.py:function`` builder spec.
+
+    The named function must take no arguments and return
+    ``(sampler, init_states, sample_kwargs)`` — the same sampler
+    configuration the checkpointed run used (adapters, stager, trace
+    functions, chunking), minus the iteration counts and checkpoint
+    paths, which :func:`resume` supplies from the checkpoint itself.
+    """
+    mod_part, _, func_name = spec.partition(":")
+    if not mod_part or not func_name:
+        msg = (f"Builder spec {spec!r} must be 'module:function' or "
+               f"'path/to/file.py:function'.")
+        raise CheckpointError(msg)
+    try:
+        if mod_part.endswith(".py"):
+            import importlib.util
+
+            module_spec = importlib.util.spec_from_file_location(
+                "_mici_tpu_checkpoint_builder", mod_part,
+            )
+            if module_spec is None or module_spec.loader is None:
+                msg = f"Cannot load builder file {mod_part!r}."
+                raise CheckpointError(msg)
+            module = importlib.util.module_from_spec(module_spec)
+            module_spec.loader.exec_module(module)
+        else:
+            import importlib
+
+            module = importlib.import_module(mod_part)
+    except (ImportError, OSError, SyntaxError) as exc:
+        msg = f"Cannot import builder {spec!r}: {exc}"
+        raise CheckpointError(msg) from exc
+    builder = getattr(module, func_name, None)
+    if not callable(builder):
+        msg = f"Builder {spec!r} does not name a callable."
+        raise CheckpointError(msg)
+    return builder
+
+
+def resume(memmap_path, builder):
+    """Resume a checkpointed run (library / command-line entry).
+
+    Checkpoints store array state, never user closures, so resuming
+    needs the original sampler configuration rebuilt in code:
+    ``builder`` is a callable (or a ``module:function`` /
+    ``file.py:function`` spec) returning ``(sampler, init_states,
+    sample_kwargs)`` exactly as the original run was configured.
+    Iteration counts come from the checkpoint meta; the memmap path,
+    ``checkpoint=True`` and ``resume_from`` are set here.  Returns the
+    completed run's ``sample_chains`` outputs — bit-identical to the
+    uninterrupted run.
+    """
+    if isinstance(builder, str):
+        builder = load_builder(builder)
+    loaded = LoadedCheckpoint(checkpoint_dir(memmap_path))
+    meta = loaded.meta
+    sampler, init_states, sample_kwargs = builder()
+    sample_kwargs = dict(sample_kwargs)
+    sample_kwargs["memmap_path"] = str(memmap_path)
+    sample_kwargs["resume_from"] = str(memmap_path)
+    sample_kwargs["checkpoint"] = True
+    return sampler.sample_chains(
+        meta["n_warm_up_iter"], meta["n_main_iter"], init_states,
+        **sample_kwargs,
+    )
+
+
 def _main(argv=None):
     import argparse
+    import sys as _sys
 
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    # Backward compatible: a bare path argument means "inspect".
+    if argv and argv[0] not in ("inspect", "resume", "-h", "--help"):
+        argv = ["inspect", *argv]
     parser = argparse.ArgumentParser(
         prog="python -m mici_tpu.checkpoint",
-        description="Inspect a sample_chains checkpoint directory.",
+        description="Inspect or resume a sample_chains checkpoint "
+                    "directory.",
     )
-    parser.add_argument(
+    sub = parser.add_subparsers(dest="command", required=True)
+    p_inspect = sub.add_parser(
+        "inspect", help="Describe a run's checkpoint state.",
+    )
+    p_inspect.add_argument(
         "memmap_path",
         help="The memmap_path of the checkpointed run.",
     )
+    p_resume = sub.add_parser(
+        "resume",
+        help="Continue a killed run to completion (bit-identical to "
+             "the uninterrupted run).",
+    )
+    p_resume.add_argument(
+        "memmap_path",
+        help="The memmap_path of the checkpointed run.",
+    )
+    p_resume.add_argument(
+        "--builder", required=True,
+        help="'module:function' or 'path/to/file.py:function' returning "
+             "(sampler, init_states, sample_kwargs) with the original "
+             "run's configuration.",
+    )
     args = parser.parse_args(argv)
     try:
-        lines = describe(args.memmap_path)
+        if args.command == "inspect":
+            print("\n".join(describe(args.memmap_path)))
+        else:
+            outputs = resume(args.memmap_path, args.builder)
+            print(f"resumed run complete: {len(outputs.final_states)} "
+                  f"chains")
+            print("\n".join(describe(args.memmap_path)))
     except CheckpointError as exc:
         print(f"error: {exc}")
         return 1
-    print("\n".join(lines))
     return 0
 
 

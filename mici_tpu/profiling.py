@@ -181,6 +181,31 @@ class CompileTelemetry:
         }
 
 
+def compile_events_snapshot():
+    """Mark the current position in the global compile-event stream.
+
+    Pass the returned index to :func:`compile_seconds_since` to get the
+    backend-compile seconds recorded after this point.  Used by the
+    driver's time-capped chunking to subtract one-off XLA compile time
+    from measured chunk walls (a first execution's wall is dominated by
+    compile and says nothing about steady-state execution time).
+    """
+    _ensure_listener()
+    with _events_lock:
+        return len(_events)
+
+
+def compile_seconds_since(start_index):
+    """Backend-compile seconds recorded since ``start_index``.
+
+    Only executable-build events count; jaxpr-trace durations are
+    excluded (nested traces overlap, so summing them would over-subtract).
+    """
+    with _events_lock:
+        events = list(_events[start_index:])
+    return sum(d for name, d, _ in events if name == _COMPILE_EVENT)
+
+
 def enable_persistent_compilation_cache(
     cache_dir=None,
     *,

@@ -26,6 +26,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import time
 import warnings
 from pathlib import Path
 
@@ -302,6 +303,110 @@ _MIN_AUTO_CHUNK = 8
 #: 64 MB -> 24.5 s, 32 MB -> 30.4 s — 64 MB balances overlap
 #: granularity against per-chunk dispatch/fetch round trips.
 _MAX_CHUNK_BUFFER_BYTES = 64 * 1024 * 1024
+
+
+#: First-chunk length (in iterations) for time-capped chunking: the
+#: probe must be long enough to average out per-dispatch overhead but
+#: short enough that even a pathologically slow model's first execution
+#: stays far below any per-execution deadline.
+_ADAPT_PROBE_ITERS = 2
+
+
+class _ChunkTimeAdapter:
+    """Measured-time chunk-length controller (``max_chunk_seconds``).
+
+    A chunk is ONE device execution.  Two situations need executions
+    bounded in *time*, which static chunk lengths cannot guarantee:
+
+    * execution deadlines — the shared dev TPU worker behind this repo's
+      bench kills long device executions (measured round 5: a plain
+      matmul scan executing ~20 s survives; the same scan sized to
+      ~150 s crashes the worker process with "TPU worker process
+      crashed or restarted", no mici_tpu code involved) — and
+    * very slow per-iteration models, where a whole-stage chunk would
+      also hold progress reporting, checkpointing and interrupts hostage
+      for the full stage.
+
+    Strategy (ROADMAP round-5 #4): start from a tiny probe chunk;
+    measure each chunk's wall from dispatch to a host-fetch sync,
+    subtracting the backend-compile seconds recorded in the same window
+    (first executions pay tens of seconds of one-off XLA compile that
+    say nothing about steady-state execution); keep a slow-biased
+    per-iteration estimate; size the next chunk to fit the target.
+    Lengths are quantized to ``probe * 2^k`` so distinct compiled
+    programs stay bounded by ``log2(base / probe)``.  Chunked scans are
+    bit-exact under any length split, so adaptation never changes
+    results; while active the driver syncs on every chunk (no
+    double-buffered drain overlap) — the price of bounded executions.
+    """
+
+    def __init__(self, target_seconds, base, thin=1, start_at_base=False):
+        self.target = float(target_seconds)
+        self.base = max(1, int(base))
+        thin = max(1, int(thin))
+        probe = max(_ADAPT_PROBE_ITERS, thin)
+        probe = (probe // thin) * thin
+        self.probe = min(probe, self.base)
+        # Guard mode (an explicit chunk_size combined with
+        # max_chunk_seconds): the caller's static length is trusted as
+        # the starting point and only *shrunk* on measured evidence —
+        # no probe chunk, so the adapted-length compile ladder is only
+        # paid when the backend actually degrades.
+        self.start_at_base = bool(start_at_base)
+        self.per_iter = None
+        self._t0 = None
+        self._compile_idx = None
+
+    def first_chunk(self):
+        return self.base if self.start_at_base else self.probe
+
+    def begin(self):
+        """Call immediately before dispatching a chunk."""
+        from mici_tpu import profiling
+
+        self._compile_idx = profiling.compile_events_snapshot()
+        self._t0 = time.perf_counter()
+
+    def observe(self, n_iter, outputs):
+        """Sync on ``outputs``, record the chunk's wall, return next length.
+
+        The sync is a small host fetch of one output leaf (a plain
+        ``block_until_ready`` can return early through remote-backend
+        tunnels); all outputs of one execution materialize together, so
+        fetching any leaf bounds the whole chunk.
+        """
+        from mici_tpu import profiling
+
+        leaves = jax.tree_util.tree_leaves(outputs)
+        if leaves:
+            np.asarray(leaves[0])
+        wall = time.perf_counter() - self._t0
+        wall -= profiling.compile_seconds_since(self._compile_idx)
+        return self._update(n_iter, wall)
+
+    def _update(self, n_iter, wall_seconds):
+        rate = max(wall_seconds, 1e-6) / max(1, int(n_iter))
+        if self.per_iter is None:
+            self.per_iter = rate
+        else:
+            # Slow-biased: a slowdown (shared-chip window change) takes
+            # effect immediately; old highs decay over a few chunks so a
+            # transient slow window does not pin chunks tiny forever.
+            self.per_iter = max(rate, 0.5 * self.per_iter)
+        return self.next_chunk()
+
+    def next_chunk(self):
+        if self.per_iter is None:
+            return self.first_chunk()
+        fit = int(self.target / self.per_iter)
+        if fit >= self.base:
+            return self.base
+        if fit <= self.probe:
+            return self.probe
+        quantized = self.probe
+        while quantized * 2 <= fit:
+            quantized *= 2
+        return min(quantized, self.base)
 
 
 def _auto_stage_chunks(sampling_stages, trace_thin=1):
@@ -697,7 +802,8 @@ class MarkovChainMonteCarloMethod:
                       trace_warm_up=False, force_memmap=False,
                       memmap_path=None, monitor_stats=None,
                       display_progress=True, progress_bar_class=None,
-                      chunk_size=None, mesh=None, trace_thin=1,
+                      chunk_size=None, max_chunk_seconds=None,
+                      mesh=None, trace_thin=1,
                       trace_summary=False, trace_summary_quantiles=None,
                       trace_summary_ess=None,
                       checkpoint=False, resume_from=None,
@@ -735,6 +841,18 @@ class MarkovChainMonteCarloMethod:
                 stage program per window length); stages with a unique
                 compile signature (e.g. the main stage) run as a single
                 chunk.
+            max_chunk_seconds: Optional wall-time target (seconds) per
+                chunk *execution*.  When set, chunk lengths are adapted
+                from measured per-iteration time (starting from a tiny
+                probe chunk, compile time excluded) so no single device
+                execution greatly exceeds the target — for backends
+                with per-execution deadlines and for very slow models
+                where a whole-stage execution would hold checkpoints,
+                progress and interrupts hostage.  Only ever *shortens*
+                chunks relative to ``chunk_size`` / the automatic
+                choice; results are bit-identical under any chunking.
+                While active, chunk draining is synchronous (no
+                double-buffer overlap).
             mesh: Optional ``jax.sharding.Mesh`` with a ``chains`` axis
                 (see :func:`mici_tpu.parallel.make_chain_mesh`).  When
                 given, the chain axis of all chain state is sharded over
@@ -1221,6 +1339,16 @@ class MarkovChainMonteCarloMethod:
                     # trace rows stay contiguous across chunks.
                     chunk = max(trace_thin,
                                 (chunk // trace_thin) * trace_thin)
+                adapt = None
+                if max_chunk_seconds is not None:
+                    # Time-capped chunking: adapt lengths per stage from
+                    # measured per-iteration time (fresh probe each stage
+                    # — stage programs differ, so estimates don't carry).
+                    adapt = _ChunkTimeAdapter(
+                        max_chunk_seconds, base=chunk, thin=trace_thin,
+                        start_at_base=chunk_size is not None,
+                    )
+                    chunk = adapt.first_chunk()
                 if restored_mid:
                     offset_in_stage = int(carry_scalars["offset_in_stage"])
                     trace_offset_in_stage = int(
@@ -1265,6 +1393,8 @@ class MarkovChainMonteCarloMethod:
                                 trace_offset_in_stage,
                             ) if ckpt_writer is not None else None
                             this_chunk = min(chunk, n_remaining)
+                            if adapt is not None:
+                                adapt.begin()
                             (states, chain_keys, params, adapt_states,
                              chunk_traces, chunk_stats,
                              summary_state) = _run_stage_chunk(
@@ -1283,6 +1413,11 @@ class MarkovChainMonteCarloMethod:
                                 summary_quantiles=summary_quantiles,
                                 summary_ess=summary_ess,
                             )
+                            if adapt is not None:
+                                # Sync on this chunk's outputs, measure
+                                # its wall (minus compile), resize the
+                                # next chunk to fit the time target.
+                                chunk = adapt.observe(this_chunk, states)
                             if pending is not None:
                                 merge_flags(self._drain_chunk(
                                     pending, traces, stats,

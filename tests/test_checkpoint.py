@@ -284,3 +284,91 @@ def test_describe_and_cli(tmp_path, capsys):
 
     assert checkpoint_mod._main([str(tmp_path / "nowhere")]) == 1
     assert "error:" in capsys.readouterr().out
+
+
+#: Self-contained builder module for the CLI resume test: rebuilds the
+#: exact configuration of this file's checkpointed runs (same seeds).
+_BUILDER_SRC = """
+import numpy as np
+import jax.numpy as jnp
+from mici_tpu import adapters, integrators, samplers, stagers, systems
+
+SEED, DIM, N_CHAIN = 321, 3, 4
+
+
+def build():
+    rng = np.random.default_rng(SEED)
+    a = rng.standard_normal((DIM, DIM))
+    prec = np.linalg.inv(a @ a.T + DIM * np.eye(DIM))
+
+    def nld(q):
+        return 0.5 * q @ (jnp.asarray(prec) @ q)
+
+    system = systems.EuclideanMetricSystem(nld)
+    integ = integrators.LeapfrogIntegrator(system, step_size=0.5)
+    sampler = samplers.DynamicMultinomialHMC(
+        system, integ, SEED, max_tree_depth=3,
+    )
+    rng_init = np.random.default_rng(SEED + 1)
+    init_states = [rng_init.standard_normal(DIM) for _ in range(N_CHAIN)]
+    sample_kwargs = dict(
+        adapters=[
+            adapters.DualAveragingStepSizeAdapter(),
+            adapters.OnlineVarianceMetricAdapter(),
+        ],
+        stager=stagers.WindowedWarmUpStager(
+            n_init_fast_stage_iter=3, n_init_slow_window_iter=2,
+            n_final_fast_stage_iter=3,
+        ),
+        chunk_size=3, display_progress=False, trace_warm_up=True,
+    )
+    return sampler, init_states, sample_kwargs
+"""
+
+
+def test_cli_resume_with_builder(tmp_path, capsys):
+    """`python -m mici_tpu.checkpoint resume <dir> --builder mod:fn`
+    continues a killed run bit-identically (ROADMAP round-5 #5: the
+    library resume API landed round 4; this is the command-line path,
+    with the sampler configuration rebuilt by a user-supplied builder
+    since checkpoints deliberately never pickle user closures)."""
+    full_dir = tmp_path / "full"
+    kill_dir = tmp_path / "kill"
+    full_dir.mkdir()
+    kill_dir.mkdir()
+    reference = _run_full(full_dir)
+
+    killed_sampler = _make_sampler()
+    killed_sampler.sample_chains(
+        N_WARM_UP, N_MAIN, _init_states(),
+        **_sample_kwargs(
+            kill_dir, display_progress=True,
+            progress_bar_class=_KillAfter(4),
+        ),
+    )
+
+    builder_path = tmp_path / "builder.py"
+    builder_path.write_text(_BUILDER_SRC)
+    spec = f"{builder_path}:build"
+
+    # Library path: spec string resolution + resumed outputs identical.
+    resumed = checkpoint_mod.resume(str(kill_dir), spec)
+    _assert_outputs_equal(reference, resumed)
+
+    # CLI path on the (now completed) checkpoint: replays finalizations
+    # and returns the full outputs, rc 0.
+    assert checkpoint_mod._main(
+        ["resume", str(kill_dir), "--builder", spec],
+    ) == 0
+    out = capsys.readouterr().out
+    assert "resumed run complete: 4 chains" in out
+
+    # Bad specs fail cleanly.
+    assert checkpoint_mod._main(
+        ["resume", str(kill_dir), "--builder", "nonsense"],
+    ) == 1
+    assert "error:" in capsys.readouterr().out
+    assert checkpoint_mod._main(
+        ["resume", str(kill_dir), "--builder", f"{builder_path}:missing"],
+    ) == 1
+    assert "error:" in capsys.readouterr().out

@@ -224,6 +224,93 @@ def test_auto_chunk_buffer_cap_bit_identical(monkeypatch):
     )
 
 
+def test_chunk_time_adapter_policy():
+    """Unit test of the max_chunk_seconds length controller (round 5:
+    the shared dev TPU worker kills device executions on the order of a
+    minute, measured with a plain matmul scan — chunk *time* must be
+    boundable)."""
+    adapt = samplers._ChunkTimeAdapter(10.0, base=256, thin=1)
+    assert adapt.first_chunk() == samplers._ADAPT_PROBE_ITERS
+    # 0.1 s/iter measured on the probe: 10 s target fits ~100 iters,
+    # quantized down to probe * 2^k = 64 (bounded compile count).
+    assert adapt._update(2, 0.2) == 64
+    # A 10x slowdown takes effect immediately (slow-biased estimate).
+    assert adapt._update(64, 64.0) == samplers._ADAPT_PROBE_ITERS * 4
+    # Old highs decay over a few fast chunks instead of pinning forever:
+    # at 0.01 s/iter the length recovers to the full base chunk.
+    lengths = [adapt._update(8, 0.08) for _ in range(6)]
+    assert lengths[-1] == 256
+    # When the target fits the whole base chunk, use it directly (no
+    # quantization undershoot).
+    whole = samplers._ChunkTimeAdapter(10.0, base=96, thin=1)
+    assert whole._update(2, 0.2) == 96
+    # Guard mode (explicit chunk_size + max_chunk_seconds): trust the
+    # static length first, shrink only on measured evidence.
+    guard = samplers._ChunkTimeAdapter(10.0, base=64, thin=1,
+                                       start_at_base=True)
+    assert guard.first_chunk() == 64
+    assert guard._update(64, 320.0) == samplers._ADAPT_PROBE_ITERS
+    assert samplers._ChunkTimeAdapter(
+        10.0, base=64, thin=1, start_at_base=True)._update(64, 6.4) == 64
+    # Never exceeds the base chunk, never goes below the probe.
+    fast = samplers._ChunkTimeAdapter(10.0, base=24, thin=1)
+    assert fast._update(2, 1e-9) == 24
+    slow = samplers._ChunkTimeAdapter(10.0, base=24, thin=1)
+    assert slow._update(2, 1e9) == fast.probe
+    # Probe and all quantized lengths honor thin alignment.
+    thinned = samplers._ChunkTimeAdapter(10.0, base=90, thin=3)
+    assert thinned.first_chunk() == 3
+    assert thinned._update(3, 0.3) % 3 == 0
+
+
+def test_max_chunk_seconds_bit_identical():
+    """max_chunk_seconds only re-chunks — results are bit-identical, and
+    the chunk lengths actually shrink to the probe under an impossible
+    time target."""
+    system, _ = _make_system()
+
+    def run(spy_lengths=None, **kwargs):
+        integ = integrators.LeapfrogIntegrator(system, step_size=0.3)
+        sampler = samplers.StaticMetropolisHMC(system, integ, SEED, n_step=2)
+        return sampler.sample_chains(
+            10, 30, _init_states(), display_progress=False, **kwargs,
+        )
+
+    out_plain = run()
+
+    chunk_lengths = []
+    orig = samplers._run_stage_chunk
+
+    def spy(*args, **kwargs):
+        chunk_lengths.append(kwargs["n_iter"])
+        return orig(*args, **kwargs)
+
+    try:
+        samplers._run_stage_chunk = spy
+        out_capped = run(max_chunk_seconds=1e-9)
+    finally:
+        samplers._run_stage_chunk = orig
+    probe = samplers._ADAPT_PROBE_ITERS
+    assert max(chunk_lengths) <= probe
+    assert sum(chunk_lengths) == 40
+    np.testing.assert_array_equal(
+        np.asarray(out_plain.traces["pos"]),
+        np.asarray(out_capped.traces["pos"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_plain.statistics["accept_stat"]),
+        np.asarray(out_capped.statistics["accept_stat"]),
+    )
+
+    # A generous target grows chunks back toward the base after the
+    # probe (no permanent fragmentation), still bit-identical.
+    out_loose = run(max_chunk_seconds=1e9)
+    np.testing.assert_array_equal(
+        np.asarray(out_plain.traces["pos"]),
+        np.asarray(out_loose.traces["pos"]),
+    )
+
+
 def test_auto_stage_chunks_groups_windowed_stages():
     """Unit test of the chunk_size=None grouping heuristic on a windowed
     warm-up layout (ADVICE round-3: the default path had no direct test).
