@@ -50,3 +50,61 @@ def test_headline_harness_smoke():
     assert metrics["ess_total_mean_dim"] > 0
     assert metrics["stats"]["accept_stat"].shape == (4, 4)
     assert 0.0 <= float(np.mean(metrics["stats"]["accept_stat"])) <= 1.0
+
+
+def test_softabs_row_subprocess_protocol(monkeypatch):
+    """bench.run_softabs_row_isolated parses the two-line streaming
+    protocol (SOFTABS_ROW then SOFTABS_AB) and keeps the gated auto row
+    through arm timeouts / faults (round 5: a TPU worker fault in this
+    row killed the whole artifact before isolation landed)."""
+    import json
+    import subprocess
+
+    import bench
+
+    row = {"config": "softabs_eigh_dim64", "chain_iters_per_sec": 10.0}
+    ab = {"ab_n_warm": 2, "xla_wall_time_s": 1.0}
+
+    class Proc:
+        returncode = 0
+        stderr = ""
+        stdout = (
+            "noise\n"
+            f"SOFTABS_ROW {json.dumps(row)}\n"
+            f"SOFTABS_AB {json.dumps(ab)}\n"
+        )
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: Proc())
+    merged = bench.run_softabs_row_isolated(None, None)
+    assert merged["config"] == "softabs_eigh_dim64"
+    assert merged["xla_wall_time_s"] == 1.0
+
+    # Timeout mid-arms: partial stdout keeps the auto row, flags arms.
+    def raise_timeout(*a, **k):
+        raise subprocess.TimeoutExpired(
+            cmd="x", timeout=1,
+            output=f"SOFTABS_ROW {json.dumps(row)}\n".encode(),
+        )
+
+    monkeypatch.setattr(bench.subprocess, "run", raise_timeout)
+    partial = bench.run_softabs_row_isolated(None, None, timeout=1)
+    assert partial["chain_iters_per_sec"] == 10.0
+    assert "ab_error" in partial
+
+    # Timeout before any line: a single error row, never an exception.
+    def raise_bare_timeout(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=1)
+
+    monkeypatch.setattr(bench.subprocess, "run", raise_bare_timeout)
+    dead = bench.run_softabs_row_isolated(None, None, timeout=1)
+    assert "error" in dead and "TimeoutExpired" in dead["error"]
+
+    # Crash with no protocol lines: error row with the stderr tail.
+    class Crash:
+        returncode = 137
+        stdout = ""
+        stderr = "boom\nworker crashed"
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: Crash())
+    crashed = bench.run_softabs_row_isolated(None, None)
+    assert "worker crashed" in crashed["error"]
