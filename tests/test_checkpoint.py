@@ -261,6 +261,36 @@ def test_completed_run_resume_returns_final_states(tmp_path):
     _assert_outputs_equal(reference, resumed)
 
 
+def test_kill_and_resume_with_max_chunk_seconds(tmp_path):
+    """Time-capped chunking (round 5) composes with checkpoint/resume:
+    adapted chunk lengths change checkpoint placement but never results,
+    so a killed time-capped run resumes bit-identically to an
+    uninterrupted run with default chunking."""
+    full_dir = tmp_path / "full"
+    kill_dir = tmp_path / "kill"
+    full_dir.mkdir()
+    kill_dir.mkdir()
+    reference = _run_full(full_dir)
+
+    killed_sampler = _make_sampler()
+    killed_sampler.sample_chains(
+        N_WARM_UP, N_MAIN, _init_states(),
+        **_sample_kwargs(
+            kill_dir, display_progress=True,
+            progress_bar_class=_KillAfter(5),
+            max_chunk_seconds=1e-9,  # force probe-length chunks
+        ),
+    )
+    resumed_sampler = _make_sampler()
+    resumed = resumed_sampler.sample_chains(
+        N_WARM_UP, N_MAIN, _init_states(),
+        **_sample_kwargs(
+            kill_dir, resume_from=str(kill_dir), max_chunk_seconds=1e-9,
+        ),
+    )
+    _assert_outputs_equal(reference, resumed)
+
+
 def test_describe_and_cli(tmp_path, capsys):
     kill_dir = tmp_path / "kill"
     kill_dir.mkdir()
