@@ -298,6 +298,46 @@ def measure_persistent_cache_effect(timeout=420):
     return results
 
 
+_HEALTH_SCRIPT = (
+    "import jax, jax.numpy as jnp\n"
+    "x = jnp.ones((256, 256))\n"
+    "print('HEALTHY', float((x @ x).sum()))\n"
+)
+
+
+def wait_for_chip(max_wait=1800, probe_timeout=180):
+    """Block until the TPU answers a trivial matmul, probing from
+    killable subprocesses.
+
+    Round 5: when the shared TPU worker restarts, in-flight *and new*
+    device ops from already-connected processes can HANG indefinitely
+    rather than error — a bench that starts in that window burns its
+    whole budget stuck on the first chip probe.  Subprocess probes are
+    killable, so this converts the hang into a bounded wait, and a
+    never-recovering chip into a recorded error artifact instead of a
+    silent stall.  Returns a JSON-ready health record either way.
+    """
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _HEALTH_SCRIPT],
+                capture_output=True, text=True, timeout=probe_timeout,
+            )
+            if "HEALTHY" in (proc.stdout or ""):
+                return {"ok": True, "attempts": attempt,
+                        "waited_s": round(time.time() - t0, 1)}
+        except (subprocess.TimeoutExpired, OSError):
+            pass
+        if time.time() - t0 >= max_wait:
+            return {"ok": False, "attempts": attempt,
+                    "waited_s": round(time.time() - t0, 1)}
+        _log(f"chip not answering (attempt {attempt}); retrying...")
+        time.sleep(20)
+
+
 def run_softabs_row_isolated(probe_rate, cache_dir, timeout=2400):
     """Run the SoftAbs dispatched-eigh row in an isolated subprocess.
 
@@ -419,6 +459,22 @@ def main():
     _log(f"persistent compilation cache: {cache_dir} "
          f"({cache_entries_before} entries)")
 
+    chip_health = wait_for_chip()
+    if not chip_health["ok"]:
+        # Emit a parseable artifact rather than hanging on a dead chip.
+        _log(f"chip never recovered: {json.dumps(chip_health)}")
+        print(json.dumps({
+            "metric": "softabs_rmhmc_banana_ess_per_sec_1024_chains",
+            "value": None,
+            "unit": "ESS/s (mean over dims, 1024 chains, TPU chip)",
+            "vs_baseline": None,
+            "error": "TPU chip unavailable for the whole health-wait "
+                     "window",
+            "chip_health": chip_health,
+        }))
+        return
+    _log(f"chip health: {json.dumps(chip_health)}")
+
     headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1"
     with compile_telemetry() as telemetry:
         probe_start = measure_chip_probe()
@@ -528,6 +584,7 @@ def main():
         "unit": "ESS/s (mean over dims, 1024 chains, TPU chip)",
         "vs_baseline": round(vs_baseline, 1),
         "ref_ess_method": method,
+        "chip_health_wait": chip_health,
         "chip_probe_steps_per_sec": {
             "start": probe_start, "end": probe_end,
             "start_default_precision": probe_start_default_precision,
