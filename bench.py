@@ -635,6 +635,7 @@ def main():
             k: softabs_row.get(k)
             for k in ("dim", "eigh_auto_path", "chain_iters_per_sec",
                       "auto_over_xla_speedup", "auto_over_blocked_speedup",
+                      "auto_over_parallel_speedup",
                       "mean_accept", "error")
             if k in softabs_row
         },

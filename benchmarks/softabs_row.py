@@ -11,18 +11,23 @@ changed the landscape the item assumed:
 * the blocked block-Jacobi eigh **loses 11x to XLA's native eigh** at
   its target regime ((B=64, N=256): 1.72 s vs 0.151 s steady);
 * the new pure-XLA :func:`mici_tpu.ops.batched_linalg.parallel_jacobi_eigh`
-  beats XLA at lane-friendly sizes ((B=512, N=32): 0.073 s vs 0.093 s)
-  with ~3 s compiles and a tiny graph that inlines safely inside the
-  implicit integrators' nested ``while_loop``s (the round-1 QDWH
-  compile-blowup motivation).
+  beats XLA standalone at lane-friendly sizes ((B=512, N=32): 0.073 s
+  vs 0.093 s) with ~3 s compiles and a tiny graph that inlines safely
+  inside the implicit integrators' nested ``while_loop``s (the round-1
+  QDWH compile-blowup motivation);
+* and this row's own end-to-end A/B then caught the first round-5
+  window (parallel for 8 < N <= 64 at batch >= 64) being wrong by 4x:
+  at (B=64, N=64) through the driver, forced-XLA ran 47.6 chain-it/s
+  vs the parallel path's 11.3 (BENCH round 5).
 
-So the auto dispatch window is now: parallel Jacobi for 8 < N <= 64 TPU
-batches, XLA elsewhere (mici_tpu/ops/dispatch.py) — and this row runs
-SoftAbs-metric RMHMC **at dim 64** through the generic ``sample_chains``
-driver (squarely inside that window), with same-shape A/B arms against
-``force_dispatch("xla")`` and ``force_dispatch("blocked")`` recorded in
-the artifact, so the dispatch decision is backed by an end-to-end
-measurement every round.
+So the auto dispatch window is held strictly to the measured-win
+region: parallel Jacobi only for 8 < N <= 32 at batch >= 512 TPU f32,
+XLA everywhere else (mici_tpu/ops/dispatch.py).  This row runs
+SoftAbs-metric RMHMC **at dim 64** through the generic
+``sample_chains`` driver — the regime the A/B reversal was measured in,
+now auto-routed to XLA — with same-shape forced-mode arms
+(``parallel``, ``blocked``) recorded in the artifact, so the dispatch
+decision stays backed by an end-to-end measurement every round.
 
 Reference analogue: the SoftAbs metric system + matrix
 (/root/reference/src/mici/systems.py:1737-1920,
@@ -56,8 +61,8 @@ import time
 import numpy as np
 
 DIM = 64
-N_CHAIN = 64  # >= ops.dispatch._MIN_EIGH_PARALLEL_BATCH: the smallest
-# batch the auto policy routes to the parallel-Jacobi eigh.
+N_CHAIN = 64  # the (B=64, N=64) regime where the end-to-end A/B
+# reversed the first round-5 dispatch window (see module docstring).
 LAM = 0.5
 SOFTABS_COEFF = 1.0
 # Step size from a measured sweep (dim 40, CPU): 0.5 diverges the direct
@@ -194,7 +199,7 @@ def _measure_mode(mode, dim, n_chain, n_warm, n_main, n_repeat, seed):
 
 def run_softabs_eigh_row(probe_rate=None, dim=DIM, n_chain=N_CHAIN,
                          n_warm=8, n_main=48, n_repeat=1, seed=0,
-                         ab_modes=("xla", "blocked")):
+                         ab_modes=("parallel", "blocked")):
     """Run the SoftAbs eigh row and return a JSON-ready artifact dict.
 
     Includes: median wall / chain-iters/s for the auto-dispatched
@@ -268,7 +273,7 @@ def run_softabs_eigh_row(probe_rate=None, dim=DIM, n_chain=N_CHAIN,
 
 def run_softabs_ab_arms(auto_iters_per_sec, dim=DIM, n_chain=N_CHAIN,
                         n_warm=2, n_main=16, seed=0,
-                        ab_modes=("xla", "blocked")):
+                        ab_modes=("parallel", "blocked")):
     """Same-shape forced-dispatch A/B arms for the SoftAbs row.
 
     Separate from the auto row (and run after it) so a pathologically

@@ -456,17 +456,22 @@ def solve_triangular_mat(a, b, *, lower=True, trans=False):
 #: :func:`mici_tpu.ops.batched_linalg.parallel_jacobi_eigh` instead.
 _MAX_EIGH_KERNEL_N = 32
 
-#: Auto window for the parallel-order scalar-Jacobi eigh: measured on
-#: chip (round 5) it beats XLA's QDWH eigh at (B=512, N=32) 0.073 s vs
-#: 0.093 s and (B=1024, N=16) 0.052 s vs 0.057 s steady-state, compiles
-#: in ~3 s standalone, and — the round-1 motivation — its loop graph is
-#: tiny, so inlining it at every metric-rebuild site inside the implicit
-#: integrators' nested ``while_loop``s keeps full-program compile sane
-#: where inlined QDWH took >9 minutes.  Rounds scale with N, so above
-#: this ceiling XLA's within-matrix parallelism wins at runtime
-#: (measured at (B=64, N=256): XLA 0.151 s vs blocked-Jacobi 1.72 s).
-_MAX_EIGH_PARALLEL_N = 64
-_MIN_EIGH_PARALLEL_BATCH = 64
+#: Auto window for the parallel-order scalar-Jacobi eigh, held strictly
+#: to measured wins: standalone on chip (round 5) it beats XLA's eigh
+#: at (B=512, N=32) 0.073 s vs 0.093 s and (B=1024, N=16) 0.052 s vs
+#: 0.057 s steady-state, and compiles in ~3 s.  The first round-5
+#: window extrapolated that to 8 < N <= 64 at batch >= 64 — and the
+#: ``softabs_eigh_dim64`` artifact row's end-to-end A/B caught the
+#: extrapolation being wrong by 4x: at (B=64, N=64) through the
+#: implicit-RMHMC driver, forced-XLA ran 47.6 chain-it/s vs the
+#: parallel path's 11.3 (the 63 sequential rotation rounds scale with N
+#: while the B=64 per-round matmuls underfill the chip; XLA's
+#: within-matrix parallelism wins).  So the auto window is exactly the
+#: measured-win region — large lane-filling batches of small matrices —
+#: and XLA is the default everywhere else (also measured at
+#: (B=64, N=256): XLA 0.151 s vs blocked-Jacobi 1.72 s).
+_MAX_EIGH_PARALLEL_N = 32
+_MIN_EIGH_PARALLEL_BATCH = 512
 
 
 def _use_parallel_eigh(batch, n, dtype):

@@ -428,11 +428,15 @@ def test_eigh_blocked_two_separate_jit_traces():
 
 
 def test_eigh_dispatch_policy():
-    """Auto policy for eigh (round 5): parallel-order scalar Jacobi for
-    8 < N <= 64 at batch >= 64 on TPU f32; XLA everywhere else.  The
-    Pallas lane kernel and the blocked block-Jacobi are force-only (the
-    kernel's Mosaic compile blows up at n=32; the blocked path loses to
-    XLA 11x at its target regime — measured round 5)."""
+    """Auto policy for eigh (round 5, revised by the end-to-end A/B):
+    parallel-order scalar Jacobi only in its measured-win region —
+    8 < N <= 32 at batch >= 512 on TPU f32 — and XLA everywhere else.
+    The first round-5 window (N <= 64 at batch >= 64) extrapolated the
+    standalone wins and the softabs_eigh_dim64 artifact row measured
+    forced-XLA 4x faster end-to-end at (B=64, N=64).  The Pallas lane
+    kernel and the blocked block-Jacobi are force-only (the kernel's
+    Mosaic compile blows up at n=32; the blocked path loses to XLA 11x
+    at its target regime — measured round 5)."""
     import jax.numpy as jnp_
 
     from mici_tpu.ops import dispatch as d
@@ -440,13 +444,14 @@ def test_eigh_dispatch_policy():
     orig = d._bl._on_tpu
     d._bl._on_tpu = lambda: True
     try:
-        assert d._use_parallel_eigh(64, 9, jnp_.float32)
-        assert d._use_parallel_eigh(64, 32, jnp_.float32)
-        assert d._use_parallel_eigh(1024, 64, jnp_.float32)
-        assert not d._use_parallel_eigh(64, 65, jnp_.float32)
-        assert not d._use_parallel_eigh(63, 32, jnp_.float32)
-        assert not d._use_parallel_eigh(64, 8, jnp_.float32)
-        assert not d._use_parallel_eigh(64, 32, jnp_.float64)
+        assert d._use_parallel_eigh(512, 9, jnp_.float32)
+        assert d._use_parallel_eigh(512, 32, jnp_.float32)
+        assert d._use_parallel_eigh(1024, 16, jnp_.float32)
+        assert not d._use_parallel_eigh(512, 33, jnp_.float32)
+        assert not d._use_parallel_eigh(64, 64, jnp_.float32)  # the A/B
+        assert not d._use_parallel_eigh(511, 32, jnp_.float32)
+        assert not d._use_parallel_eigh(512, 8, jnp_.float32)
+        assert not d._use_parallel_eigh(512, 32, jnp_.float64)
         # blocked / kernel never auto-selected
         assert not d._use_blocked_eigh(64, 256, jnp_.float32)
         assert not d._use_blocked_eigh(256, 512, jnp_.float32)
